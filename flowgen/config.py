@@ -1,0 +1,293 @@
+"""Scene-recipe configuration: the 13 data-generation MODEs and the run config.
+
+This is the TPU-native equivalent of the reference's mode registry and protobuf
+config surface:
+
+- the 13 hardcoded mode recipes (reference: src/caffe/DataGenerator.cpp:54-69 docs,
+  1363-2001 per-mode RNG parameter wiring),
+- ``DataGenerationParameter`` (reference: src/caffe/proto/caffe.proto:6-12) plus the
+  relevant parts of Caffe's ``data_param`` (example-prototxt/train.prototxt:9-14).
+
+Unlike the reference, output dimensions are run-time configuration rather than
+compile-time ``#define``s (reference: include/caffe/data_generation/DataGenerator.h:55-56).
+
+All distribution parameters below are transcribed from the per-mode switch in
+``ObjectParametersGenerator``'s constructor (DataGenerator.cpp:1363-2001). Angles that
+the reference feeds to AGG transforms are radians; the *background texture* rotation is
+sampled in radians but consumed by CImg's ``rotate`` which takes degrees — we preserve
+that quirk (see ``bg_tex_rot_is_degrees`` note in params/sampler.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+PI = math.pi
+
+# Default output resolution (reference: DataGenerator.h:55-59, README.md:45).
+DEFAULT_WIDTH = 512
+DEFAULT_HEIGHT = 384
+
+# Object-slot capacities for the fixed-shape (XLA-friendly) scene representation.
+# The reference samples 16..24 foreground objects (DataGenerator.cpp:2832-2835,
+# Uniform(16,24) truncated to int, so 16..23 occur) and 1..7 composite components
+# (DataGenerator.cpp:2384, FixedRangeUniformInt(1,7)).
+MAX_OBJECTS = 24
+MAX_COMPONENTS = 7
+MAX_SPOKES = 20          # FixedRangeUniformInt(3, 20) (DataGenerator.cpp:1395 etc.)
+EDGE_SUBDIV = 6          # points per spoke-step when flattening outlines
+MAX_EDGES = MAX_SPOKES * EDGE_SUBDIV  # 120 edge slots per polygon primitive
+
+# Object IDs mirror the reference's painter's-algorithm ordering:
+# background id 1, foreground ids 10+i (data_generation_layer.cpp:202, 210).
+BACKGROUND_OBJ_ID = 1
+FOREGROUND_ID_BASE = 10
+
+# Object kind codes (ObjType_t, DataGenerator.h:369-374).
+KIND_ELLIPSE = 0
+KIND_POLYGON = 1
+KIND_COMPOSITE = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class ModeSpec:
+    """Distribution parameters for one scene-recipe mode.
+
+    Field-by-field transcription of one ``case`` of the 13-way switch in
+    ``ObjectParametersGenerator`` (DataGenerator.cpp:1363-2001). Ranges are
+    ``(a, b)`` pairs; ``*_p`` fields are Trigger probabilities.
+    """
+
+    mode: int
+    # Which object kinds RNG_ObjType chooses among (uniform choice).
+    obj_types: Tuple[int, ...]
+    # Background motion.
+    bg_rot_p: float
+    bg_rot_range: Tuple[float, float]          # GaussianSq, radians
+    bg_trans_range: Tuple[float, float]        # Gaussian4, pixels
+    bg_scale_p: float
+    bg_scale_range: Tuple[float, float]        # GaussianSq
+    # Foreground object motion.
+    obj_trans_range: Tuple[float, float]       # Gaussian3, pixels
+    obj_rot_p: float
+    obj_rot_range: Tuple[float, float]         # GaussianSq, radians
+    obj_scale_p: float
+    obj_scale_range: Tuple[float, float]       # GaussianSq
+    # Intrinsic pose.
+    obj_init_rot_range: Tuple[float, float] = (-PI, PI)   # Uniform; (0,0) in mode 1
+    # Shape recipe switches.
+    axis_aligned_rect: bool = False   # mode 1: fixed 4-spoke rectangle
+    allow_curves: bool = False        # Curve3 trigger active (modes 4-13)
+    use_thin: bool = False            # thin-object logic consulted (modes 7, 9-13)
+    warp_p: float = 0.0               # nonrigid deformation trigger (mode 9: 0.2)
+
+    # --- Parameters identical across all 13 modes ---
+    bg_init_rot_range: Tuple[float, float] = (-PI, PI)    # applied as DEGREES by CImg
+    bg_init_scale_range: Tuple[float, float] = (0.8, 1.2)
+    n_fg_range: Tuple[float, float] = (16.0, 24.0)        # Uniform, truncated to int
+    obj_init_trans_margin: float = 50.0   # U(-W/2-50, 3W/2+50) x, U(-H/2-50, 3H/2+50) y
+    ellipse_scale_range: Tuple[float, float] = (0.5, 2.0)  # x50 -> radii 25..100
+    ellipse_radius_factor: float = 50.0
+    spokes_range: Tuple[int, int] = (3, 20)
+    dphi_range_deg: Tuple[float, float] = (-10.0, 10.0)
+    spoke_r_range: Tuple[float, float] = (20.0, 80.0)
+    poly_scale_range: Tuple[float, float] = (0.5, 2.0)
+    curve_p: float = 0.33
+    n_components_range: Tuple[int, int] = (1, 7)
+    component_additive_p: float = 0.5
+    component_offset_range: Tuple[float, float] = (-20.0, 20.0)
+    comp_init_trans_range: Tuple[float, float] = (-15.0, 15.0)
+    thin_p: float = 0.2
+    thin_shrink: float = 0.05         # x-axis shrink of "needle" objects
+    outline_shrink: float = 0.9       # inner shape of "outline" composites
+    component_shrink: float = 0.2     # non-primary composite components
+    generic_p: float = 0.5
+
+
+def _deg(x: float) -> float:
+    return x * PI / 180.0
+
+
+def _base(mode: int, **kw) -> ModeSpec:
+    return ModeSpec(mode=mode, **kw)
+
+
+_EP = (KIND_ELLIPSE, KIND_POLYGON)
+_EPC = (KIND_ELLIPSE, KIND_POLYGON, KIND_COMPOSITE)
+
+MODES = {
+    # 1 - axis-aligned rectangles, translation-only (DataGenerator.cpp:1364-1411)
+    1: _base(
+        1, obj_types=(KIND_POLYGON,),
+        bg_rot_p=0.0, bg_rot_range=(0.0, 0.0), bg_trans_range=(-40.0, 40.0),
+        bg_scale_p=0.0, bg_scale_range=(1.0, 1.0),
+        obj_trans_range=(-120.0, 120.0),
+        obj_rot_p=0.0, obj_rot_range=(0.0, 0.0),
+        obj_scale_p=0.0, obj_scale_range=(1.0, 1.0),
+        obj_init_rot_range=(0.0, 0.0),
+        axis_aligned_rect=True,
+    ),
+    # 2 - straight-edged polygons, translation-only (cpp:1412-1459)
+    2: _base(
+        2, obj_types=(KIND_POLYGON,),
+        bg_rot_p=0.0, bg_rot_range=(0.0, 0.0), bg_trans_range=(-40.0, 40.0),
+        bg_scale_p=0.0, bg_scale_range=(1.0, 1.0),
+        obj_trans_range=(-120.0, 120.0),
+        obj_rot_p=0.0, obj_rot_range=(0.0, 0.0),
+        obj_scale_p=0.0, obj_scale_range=(1.0, 1.0),
+    ),
+    # 3 - ellipses, translation-only (cpp:1460-1507)
+    3: _base(
+        3, obj_types=(KIND_ELLIPSE,),
+        bg_rot_p=0.0, bg_rot_range=(0.0, 0.0), bg_trans_range=(-40.0, 40.0),
+        bg_scale_p=0.0, bg_scale_range=(1.0, 1.0),
+        obj_trans_range=(-120.0, 120.0),
+        obj_rot_p=0.0, obj_rot_range=(0.0, 0.0),
+        obj_scale_p=0.0, obj_scale_range=(1.0, 1.0),
+    ),
+    # 4 - ellipses + polygons (with curves), translation+rotation (cpp:1508-1555)
+    4: _base(
+        4, obj_types=_EP,
+        bg_rot_p=0.3, bg_rot_range=(-_deg(10), _deg(10)), bg_trans_range=(-40.0, 40.0),
+        bg_scale_p=0.0, bg_scale_range=(1.0, 1.0),
+        obj_trans_range=(-120.0, 120.0),
+        obj_rot_p=0.7, obj_rot_range=(-_deg(30), _deg(30)),
+        obj_scale_p=0.0, obj_scale_range=(1.0, 1.0),
+        allow_curves=True,
+    ),
+    # 5 - 4 + scaling motion (cpp:1556-1603)
+    5: _base(
+        5, obj_types=_EP,
+        bg_rot_p=0.3, bg_rot_range=(-_deg(10), _deg(10)), bg_trans_range=(-40.0, 40.0),
+        bg_scale_p=0.6, bg_scale_range=(0.93, 1.07),
+        obj_trans_range=(-120.0, 120.0),
+        obj_rot_p=0.7, obj_rot_range=(-_deg(30), _deg(30)),
+        obj_scale_p=0.7, obj_scale_range=(0.8, 1.2),
+        allow_curves=True,
+    ),
+    # 6 - 5 + composite objects with holes (cpp:1604-1653)
+    6: _base(
+        6, obj_types=_EPC,
+        bg_rot_p=0.3, bg_rot_range=(-_deg(10), _deg(10)), bg_trans_range=(-40.0, 40.0),
+        bg_scale_p=0.6, bg_scale_range=(0.93, 1.07),
+        obj_trans_range=(-120.0, 120.0),
+        obj_rot_p=0.7, obj_rot_range=(-_deg(30), _deg(30)),
+        obj_scale_p=0.7, obj_scale_range=(0.8, 1.2),
+        allow_curves=True,
+    ),
+    # 7 - 6 + thin "needle"/"outline" objects (cpp:1654-1703)
+    7: _base(
+        7, obj_types=_EPC,
+        bg_rot_p=0.3, bg_rot_range=(-_deg(10), _deg(10)), bg_trans_range=(-40.0, 40.0),
+        bg_scale_p=0.6, bg_scale_range=(0.93, 1.07),
+        obj_trans_range=(-120.0, 120.0),
+        obj_rot_p=0.7, obj_rot_range=(-_deg(30), _deg(30)),
+        obj_scale_p=0.7, obj_scale_range=(0.8, 1.2),
+        allow_curves=True, use_thin=True,
+    ),
+    # 8 - shapes of 4 but translation-only (cpp:1704-1751)
+    8: _base(
+        8, obj_types=_EP,
+        bg_rot_p=0.0, bg_rot_range=(0.0, 0.0), bg_trans_range=(-40.0, 40.0),
+        bg_scale_p=0.0, bg_scale_range=(1.0, 1.0),
+        obj_trans_range=(-120.0, 120.0),
+        obj_rot_p=0.0, obj_rot_range=(0.0, 0.0),
+        obj_scale_p=0.0, obj_scale_range=(1.0, 1.0),
+        allow_curves=True,
+    ),
+    # 9 - 7 + nonrigid deformations (cpp:1752-1801)
+    9: _base(
+        9, obj_types=_EPC,
+        bg_rot_p=0.3, bg_rot_range=(-_deg(10), _deg(10)), bg_trans_range=(-40.0, 40.0),
+        bg_scale_p=0.6, bg_scale_range=(0.93, 1.07),
+        obj_trans_range=(-120.0, 120.0),
+        obj_rot_p=0.7, obj_rot_range=(-_deg(30), _deg(30)),
+        obj_scale_p=0.7, obj_scale_range=(0.8, 1.2),
+        allow_curves=True, use_thin=True, warp_p=0.2,
+    ),
+    # 10 - 7 with halved motion magnitudes (cpp:1802-1852)
+    10: _base(
+        10, obj_types=_EPC,
+        bg_rot_p=0.176, bg_rot_range=(-_deg(5), _deg(5)), bg_trans_range=(-20.0, 20.0),
+        bg_scale_p=0.429, bg_scale_range=(0.965, 1.035),
+        obj_trans_range=(-60.0, 60.0),
+        obj_rot_p=0.539, obj_rot_range=(-_deg(15), _deg(15)),
+        obj_scale_p=0.539, obj_scale_range=(0.9, 1.1),
+        allow_curves=True, use_thin=True,
+    ),
+    # 11 - 7 with doubled motion magnitudes (cpp:1853-1902)
+    11: _base(
+        11, obj_types=_EPC,
+        bg_rot_p=0.462, bg_rot_range=(-_deg(20), _deg(20)), bg_trans_range=(-80.0, 80.0),
+        bg_scale_p=0.75, bg_scale_range=(0.86, 1.14),
+        obj_trans_range=(-240.0, 240.0),
+        obj_rot_p=0.824, obj_rot_range=(-_deg(60), _deg(60)),
+        obj_scale_p=0.824, obj_scale_range=(0.6, 1.4),
+        allow_curves=True, use_thin=True,
+    ),
+    # 12 - 7 with thirded motion magnitudes (cpp:1903-1952)
+    12: _base(
+        12, obj_types=_EPC,
+        bg_rot_p=0.125, bg_rot_range=(-_deg(3.3), _deg(3.3)),
+        bg_trans_range=(-13.3, 13.3),
+        bg_scale_p=0.333, bg_scale_range=(0.976, 1.023),
+        obj_trans_range=(-40.0, 40.0),
+        obj_rot_p=0.437, obj_rot_range=(-_deg(10), _deg(10)),
+        obj_scale_p=0.437, obj_scale_range=(0.933, 1.066),
+        allow_curves=True, use_thin=True,
+    ),
+    # 13 - 7 with tripled motion magnitudes (cpp:1953-2002)
+    13: _base(
+        13, obj_types=_EPC,
+        bg_rot_p=0.563, bg_rot_range=(-_deg(30), _deg(30)),
+        bg_trans_range=(-120.0, 120.0),
+        bg_scale_p=0.818, bg_scale_range=(0.79, 1.21),
+        obj_trans_range=(-360.0, 360.0),
+        obj_rot_p=0.875, obj_rot_range=(-_deg(90), _deg(90)),
+        obj_scale_p=0.875, obj_scale_range=(0.4, 1.6),
+        allow_curves=True, use_thin=True,
+    ),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class DataGenConfig:
+    """Run configuration — TPU-native replacement for ``DataGenerationParameter``
+    (src/caffe/proto/caffe.proto:6-12) + Caffe ``data_param`` (train.prototxt:9-14).
+
+    Thread-count knobs from the reference have no analog (generation is a single
+    fused device program); ``prefetch`` keeps its meaning as pipeline depth for the
+    host-side iterator.
+    """
+
+    mode: int = 1
+    batch_size: int = 8
+    width: int = DEFAULT_WIDTH
+    height: int = DEFAULT_HEIGHT
+    use_antialiasing: bool = True         # proto field use_antialiasing (default true)
+    texture_dbases: Tuple[str, ...] = ()  # list files of texture image paths
+    prefetch: int = 2                     # device-step pipelining depth
+    seed: int = 0
+    # Output compatibility switches (reference emits 0-255 BGR CHW float batches,
+    # data_generation_layer.cpp:128-130 + BGR swap at DataGenerator.cpp:129-131).
+    channel_order: str = "rgb"            # "rgb" or "bgr"
+    layout: str = "nhwc"                  # "nhwc" (TPU-native) or "nchw" (Caffe)
+    compute_inverse_flow: bool = False    # RenderCore::computeFlowImage(inverse=true)
+    # Warp-field bank sizing (mode 9); see flowgen/warpfields/generator.py.
+    warp_fields_per_batch: int = 1
+    max_objects: int = MAX_OBJECTS
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.mode not in MODES:
+            raise ValueError(f"BAD MODE {self.mode}; valid modes are 1..13")
+        if self.channel_order not in ("rgb", "bgr"):
+            raise ValueError("channel_order must be 'rgb' or 'bgr'")
+        if self.layout not in ("nhwc", "nchw"):
+            raise ValueError("layout must be 'nhwc' or 'nchw'")
+
+    @property
+    def mode_spec(self) -> ModeSpec:
+        return MODES[self.mode]
