@@ -83,8 +83,10 @@ def test_degenerate_padding_points_are_inert():
 
 
 def test_nonconvex_winding():
-    # Self-intersecting bowtie: nonzero winding fills both lobes.
-    pts = jnp.array([[10.0, 10.0], [30.0, 30.0], [30.0, 10.0], [10.0, 30.0]])
+    # Self-intersecting bowtie: nonzero winding fills both lobes. Vertices are
+    # off-lattice so no pixel center lies exactly on an edge (degenerate
+    # cross==0 cases are f32-rounding-dependent and excluded by design).
+    pts = jnp.array([[10.3, 10.1], [30.2, 29.7], [30.1, 10.2], [10.2, 29.8]])
     px, py = raster.pixel_grid(40, 40)
     _, inside = raster.polygon_coverage(pts, px, py)
     expect = _oracle_inside(pts, np.asarray(px), np.asarray(py))
