@@ -1,0 +1,189 @@
+"""Generation pipeline: jitted batch step + streaming runtime.
+
+This replaces the reference's entire L3/L4 runtime — the task scheduler with
+its mutex-guarded queues and worker threads (DataGenerator, src/caffe/
+DataGenerator.cpp:990-1349) and the Caffe layer adapter with its prefetch
+thread and blob buckets (src/caffe/layers/data_generation_layer.cpp:36-299).
+
+On TPU the "scheduler" is one compiled program: scene sampling, warp-field
+synthesis, rasterization, compositing, and flow synthesis fuse into a single
+device step ``(seed, step_index, atlas) -> batch``. Pipelining falls out of
+JAX's async dispatch: the runtime keeps ``prefetch`` steps in flight, which is
+the moral equivalent of the reference's prefetch-queue depth
+(train.prototxt:13) without any queues or 1 ms spin-waits.
+
+Because every batch is a pure function of ``(seed, step)``, the stream is
+deterministic, seekable, and trivially resumable — checkpoint/resume of the
+data stream (impossible in the reference, SURVEY.md §5) is just "remember the
+step counter".
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compose.render import render_batch
+from ..config import DataGenConfig
+from ..params.sampler import sample_scene_batch
+from ..random.streams import root_key
+from ..warpfields import generator as warpgen
+from .. import texture_io
+
+
+def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig):
+    """Apply output-compatibility transforms. The reference emits float batches
+    {B,3,H,W} in 0..255 BGR plus {B,2,H,W} flow (data_generation_layer.cpp:
+    227-229; BGR swap at texture load, DataGenerator.cpp:129-131)."""
+    if cfg.channel_order == "bgr":
+        images0 = images0[..., ::-1]
+        images1 = images1[..., ::-1]
+    out = {"image0": images0, "image1": images1, "flow0": flow0}
+    if flow1 is not None:
+        out["flow1"] = flow1
+    if cfg.layout == "nchw":
+        out = {k: jnp.moveaxis(v, -1, 1) for k, v in out.items()}
+    return out
+
+
+def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None):
+    """One batch: samples ``cfg.batch_size`` scenes at global indices
+    ``base_index .. base_index+B-1`` (default ``step*B``) and renders them.
+    Pure; jit with cfg static. ``step`` additionally keys the per-batch
+    warp-field bank (mode 9)."""
+    b = cfg.batch_size
+    if base_index is None:
+        base_index = step * b
+    indices = base_index + jnp.arange(b)
+    warp_bank = None
+    n_slots = 1
+    if cfg.mode_spec.warp_p > 0.0:
+        n_slots = warpgen.bank_size(cfg)
+        warp_bank = warpgen.make_warp_bank(root, step, cfg)
+    scenes = sample_scene_batch(root, indices, cfg, n_warp_slots=n_slots)
+    rendered = render_batch(scenes, atlas, cfg, warp_bank)
+    if cfg.compute_inverse_flow:
+        i0, i1, f0, f1 = rendered
+    else:
+        i0, i1, f0 = rendered
+        f1 = None
+    return _adapt_output(i0, i1, f0, f1, cfg)
+
+
+def make_generate_fn(cfg: DataGenConfig, mesh=None):
+    """Compiled generation step. With a mesh, generation shards over the
+    ``data`` axis via shard_map — per-device independent generation, zero
+    collectives on the hot path (SURVEY.md §2: the TPU-native replacement for
+    the reference's first-level thread pool)."""
+    if mesh is None:
+        return jax.jit(
+            functools.partial(generate_batch, cfg=cfg), static_argnames=()
+        )
+    from .sharding import make_sharded_generate_fn
+
+    return make_sharded_generate_fn(cfg, mesh)
+
+
+class Generator:
+    """Streaming batch source with the reference layer's lifecycle surface.
+
+    API parity with DataGenerator (DataGenerator.h:452-479) + the prefetching
+    layer: Start/Stop/Pause/Resume, ``retrieve_batch`` (blocking, like
+    retrieveFinishedTask cpp:1324-1349), iterator protocol, and a seekable
+    ``step`` counter for exact resume.
+    """
+
+    def __init__(
+        self,
+        cfg: DataGenConfig,
+        atlas: Optional[np.ndarray] = None,
+        mesh=None,
+        start_step: int = 0,
+        as_numpy: bool = False,
+    ):
+        self.cfg = cfg
+        if atlas is None:
+            atlas = texture_io.atlas_for_config(cfg)
+        self._atlas = jnp.asarray(atlas, jnp.float32)
+        self._root = root_key(cfg.seed)
+        self._fn = make_generate_fn(cfg, mesh)
+        self._step = start_step
+        self._as_numpy = as_numpy
+        self._running = False
+        self._paused = threading.Event()
+        self._paused.set()  # not paused
+        self._inflight = []
+        self._lock = threading.Lock()
+
+    # -- lifecycle (Start/Stop/Pause/Resume, DataGenerator.cpp:1010-1063) --
+    def start(self):
+        if self._running:
+            return self
+        self._running = True
+        self._pump()
+        return self
+
+    def stop(self):
+        self._running = False
+        with self._lock:
+            self._inflight.clear()
+        return self
+
+    def pause(self):
+        self._paused.clear()
+        return self
+
+    def resume(self):
+        self._paused.set()
+        if self._running:
+            self._pump()
+        return self
+
+    @property
+    def step(self) -> int:
+        """Next global step index; persist this for exact stream resume."""
+        return self._step
+
+    def _dispatch(self):
+        out = self._fn(self._root, jnp.int32(self._step), self._atlas)
+        self._step += 1
+        return out
+
+    def _pump(self):
+        """Keep ``prefetch`` async device steps in flight (the reference's
+        prefetch-bucket pipelining, data_generation_layer.cpp:141-172, without
+        threads: JAX dispatch is already asynchronous)."""
+        with self._lock:
+            while self._running and self._paused.is_set() and (
+                len(self._inflight) < max(1, self.cfg.prefetch)
+            ):
+                self._inflight.append(self._dispatch())
+
+    # -- consumption --
+    def retrieve_batch(self):
+        """Blocking fetch of the next finished batch."""
+        if not self._running:
+            self.start()
+        while not self._paused.is_set():
+            time.sleep(0.001)
+        with self._lock:
+            out = self._inflight.pop(0)
+        self._pump()
+        if self._as_numpy:
+            out = {k: np.asarray(v) for k, v in out.items()}
+        return out
+
+    def has_retrievable_batches(self) -> bool:
+        return len(self._inflight) > 0
+
+    def __iter__(self) -> Iterator[dict]:
+        return self
+
+    def __next__(self) -> dict:
+        return self.retrieve_batch()

@@ -1,0 +1,213 @@
+"""Nonrigid deformation fields: displacers, supports, and diffeomorphism
+composition.
+
+TPU-native rebuild of the reference's WarpFields engine
+(src/caffe/WarpFields.cpp):
+
+* Supports (influence masks): Constant / isotropic / anisotropic rotated
+  Gaussian (cpp:31-115). Peak-normalized, so the Gaussian prefactor cancels
+  and only ``exp(-d^2 / 2 sigma^2)`` remains.
+* Displacers (analytic flow blocks with exact inverses): Translation /
+  Rotation / Zoom (cpp:124-262).
+* DisplacementComposer: pointwise sum of support-weighted displacer flows
+  (cpp:296-316) — here one fused accumulation loop over the displacer grid
+  instead of virtual calls per pixel.
+* FlowField::init_from_DisplacementComposer: 17 binary-doubling
+  self-composition iterations ``f <- f + f o (id + f)`` integrate the
+  elementary field 2^17 times with accurate inverses (cpp:337-437); pixels
+  whose flow leaves the field are flagged and set to NaN (cpp:389-398). On TPU
+  this is a natural ``lax.fori_loop`` over dense bilinear gathers.
+* clamp_near_zeros (cpp:444-455).
+
+The reference evaluates displacers scalarly per pixel per displacer via
+virtual dispatch; here each displacer type contributes a branch-free masked
+term so the whole grid evaluates as a few fused vector ops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import texture
+from ..random.streams import uniform, uniform_int
+
+COMPOSE_ITERS = 17  # 2^17-fold integration (WarpFields.cpp:366, h:256-261)
+
+# Displacer-grid geometry (worker_thread_loop, WarpFields.cpp:570-610).
+GRID_SPACING = 200
+TRANSLATION_SCALE = 3e-4
+ROTATION_SCALE = 2e-6  # x 2*pi
+ZOOM_SCALE = 2e-6
+SUPPORT_SIGMA = 50.0
+SUPPORT_SIGMA_JITTER = 20.0
+CENTER_JITTER = 10.0
+
+
+class DisplacerGrid(NamedTuple):
+    """Parameters of a hex grid of support-weighted displacers. [N] leaves."""
+
+    kind: jax.Array       # int32: 0=translation, 1=rotation, 2=zoom
+    cx: jax.Array         # displacer center (rotation/zoom)
+    cy: jax.Array
+    p0: jax.Array         # translation dx | angular speed | zoom factor
+    p1: jax.Array         # translation dy | unused
+    sup_cx: jax.Array     # Gaussian2D support parameters
+    sup_cy: jax.Array
+    sup_sx: jax.Array
+    sup_sy: jax.Array
+    sup_angle: jax.Array
+
+
+def hex_grid_centers(size: int, spacing: int = GRID_SPACING):
+    """Isosceles-triangle (hex) lattice covering a size x size field
+    (WarpFields.cpp:572-579). Returns (x, y) int arrays of length rows*cols."""
+    iso = int(spacing / 2.0 * (3.0**0.5))
+    rows = (size + iso - 1) // iso
+    cols = size // spacing
+    yidx, xidx = jnp.meshgrid(jnp.arange(rows), jnp.arange(cols), indexing="ij")
+    x = xidx * spacing + jnp.where(yidx % 2 == 1, spacing // 2, 0) + spacing // 2
+    y = yidx * iso + spacing // 2
+    return x.ravel().astype(jnp.float32), y.ravel().astype(jnp.float32)
+
+
+def sample_displacer_grid(key, size: int) -> DisplacerGrid:
+    """Random displacer population for one big field (cpp:576-610). The
+    reference seeds these from std::random_device (non-deterministic,
+    cpp:549-550); ours is keyed and reproducible."""
+    gx, gy = hex_grid_centers(size)
+    n = gx.shape[0]
+    ks = jax.random.split(key, 8)
+    kind = uniform_int(ks[0], 0, 2, (n,))
+    g = lambda k, lo, hi: uniform(k, lo, hi, (n,))
+    # generic_param = U(-1, 1) throughout.
+    u = lambda k: g(k, -1.0, 1.0)
+    p_a = u(ks[1])
+    p_b = u(ks[2])
+    cx = gx + u(ks[3]) * CENTER_JITTER
+    cy = gy + u(ks[4]) * CENTER_JITTER
+    # Per-kind parameter meaning (cpp:582-596).
+    p0 = jnp.where(
+        kind == 0,
+        p_a * TRANSLATION_SCALE,
+        jnp.where(
+            kind == 1, p_a * jnp.pi * 2.0 * ROTATION_SCALE, 1.0 + p_a * ZOOM_SCALE
+        ),
+    )
+    p1 = p_b * TRANSLATION_SCALE
+    sup = jax.random.split(ks[5], 5)
+    return DisplacerGrid(
+        kind=kind,
+        cx=cx,
+        cy=cy,
+        p0=p0,
+        p1=p1,
+        sup_cx=gx + uniform(sup[0], -1.0, 1.0, (n,)) * CENTER_JITTER,
+        sup_cy=gy + uniform(sup[1], -1.0, 1.0, (n,)) * CENTER_JITTER,
+        sup_sx=SUPPORT_SIGMA + uniform(sup[2], -1.0, 1.0, (n,)) * SUPPORT_SIGMA_JITTER,
+        sup_sy=SUPPORT_SIGMA + uniform(sup[3], -1.0, 1.0, (n,)) * SUPPORT_SIGMA_JITTER,
+        sup_angle=uniform(sup[4], -1.0, 1.0, (n,)) * jnp.pi,
+    )
+
+
+def _displacer_term(grid: DisplacerGrid, i, px, py, inverse: bool):
+    """Support-weighted flow of displacer ``i`` over the pixel grid
+    (DisplacerBase::flow_at/iflow_at, cpp:148-160)."""
+    kind = grid.kind[i]
+    dx = px - grid.cx[i]
+    dy = py - grid.cy[i]
+
+    # Rotation by -omega forward / +omega inverse (cpp:220-236).
+    om = jnp.where(inverse, grid.p0[i], -grid.p0[i])
+    c, s = jnp.cos(om), jnp.sin(om)
+    rot_fx = (c * dx - s * dy) - dx
+    rot_fy = (s * dx + c * dy) - dy
+
+    f = jnp.where(inverse, 1.0 / grid.p0[i], grid.p0[i])
+    zoom_fx = (f - 1.0) * dx
+    zoom_fy = (f - 1.0) * dy
+
+    sgn = jnp.where(inverse, -1.0, 1.0)
+    fx = jnp.where(
+        kind == 0, sgn * grid.p0[i], jnp.where(kind == 1, rot_fx, zoom_fx)
+    )
+    fy = jnp.where(
+        kind == 0, sgn * grid.p1[i], jnp.where(kind == 1, rot_fy, zoom_fy)
+    )
+
+    # Gaussian2D support, peak-normalized (cpp:88-112).
+    a, b = jnp.cos(grid.sup_angle[i]), -jnp.sin(grid.sup_angle[i])
+    cc, d = -b, a
+    sx_rel = px - grid.sup_cx[i]
+    sy_rel = py - grid.sup_cy[i]
+    rx = a * sx_rel + b * sy_rel
+    ry = (cc * sx_rel + d * sy_rel) * (grid.sup_sx[i] / grid.sup_sy[i])
+    w = jnp.exp(-(rx * rx + ry * ry) / (2.0 * grid.sup_sx[i] * grid.sup_sx[i]))
+    return fx * w, fy * w
+
+
+def elementary_field(grid: DisplacerGrid, size: int, inverse: bool):
+    """Dense sum of all displacer contributions (DisplacementComposer::flow_at
+    over every pixel, cpp:296-316, 347-354)."""
+    ys = jnp.arange(size, dtype=jnp.float32)
+    xs = jnp.arange(size, dtype=jnp.float32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+
+    def body(i, acc):
+        fx, fy = _displacer_term(grid, i, px, py, inverse)
+        return acc[0] + fx, acc[1] + fy
+
+    n = grid.kind.shape[0]
+    fx, fy = lax.fori_loop(0, n, body, (jnp.zeros_like(px), jnp.zeros_like(py)))
+    return jnp.stack([fx, fy], axis=-1)
+
+
+def self_compose(field, iters: int = COMPOSE_ITERS):
+    """Binary-doubling integration: f <- f + f o (id + f), ``iters`` times
+    (cpp:366-384). Out-of-bounds lookups freeze the value and flag the pixel;
+    flagged pixels become NaN at the end (cpp:389-398).
+
+    ``field``: (S, S, 2). Returns the composed field with NaNs at flagged
+    pixels.
+    """
+    s = field.shape[0]
+    ys = jnp.arange(s, dtype=jnp.float32)
+    py, px = jnp.meshgrid(ys, ys, indexing="ij")
+    flagged0 = jnp.zeros((s, s), bool)
+
+    def body(_, carry):
+        f, flagged = carry
+        tx = px + f[..., 0]
+        ty = py + f[..., 1]
+        oob = (tx < 0) | (tx >= s) | (ty < 0) | (ty >= s)
+        flagged = flagged | oob
+        lut = texture.sample_bilinear(f, tx, ty, wrap="clamp")
+        f = jnp.where(oob[..., None], f, f + lut)
+        return f, flagged
+
+    f, flagged = lax.fori_loop(0, iters, body, (field, flagged0))
+    oob_final = (
+        (px + f[..., 0] < 0)
+        | (px + f[..., 0] >= s)
+        | (py + f[..., 1] < 0)
+        | (py + f[..., 1] >= s)
+    )
+    flagged = flagged | oob_final
+    return jnp.where(flagged[..., None], jnp.nan, f)
+
+
+def clamp_near_zeros(field, threshold: float = 1e-3):
+    """Zero out sub-threshold flows (FlowField::clamp_near_zeros, cpp:444-455)."""
+    return jnp.where(jnp.abs(field) < threshold, 0.0, field)
+
+
+def make_big_field(key, size: int):
+    """One composed (flow, iflow) pair at ``size x size`` — the body of the
+    reference CropGenerator worker (cpp:558-615)."""
+    grid = sample_displacer_grid(key, size)
+    flow = self_compose(elementary_field(grid, size, inverse=False))
+    iflow = self_compose(elementary_field(grid, size, inverse=True))
+    return clamp_near_zeros(flow), clamp_near_zeros(iflow)
