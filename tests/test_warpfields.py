@@ -1,0 +1,88 @@
+"""Warp-field tests (flowgen/warpfields/*): displacer semantics, binary-
+doubling integration, forward/inverse consistency, mode-9 end-to-end
+(reference src/caffe/WarpFields.cpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import flowgen
+from flowgen.ops import texture
+from flowgen.random.streams import root_key
+from flowgen.warpfields import fields, generator as warpgen
+
+W, H = 128, 96
+
+
+def test_hex_grid_geometry():
+    x, y = fields.hex_grid_centers(1536)
+    x, y = np.asarray(x), np.asarray(y)
+    # spacing 200, isosceles rows (cpp:572-579): 7 cols x 9 rows
+    assert x.shape[0] == 63
+    assert x.min() >= 100 and x.max() <= 1536
+    # odd rows offset by half spacing
+    assert (np.unique(y).size) == 9
+
+
+def test_self_compose_translation_doubles():
+    # A constant translation field composes to 2^iters * t (exact for
+    # constant fields, the degenerate case of the doubling scheme cpp:360-384).
+    t = 1e-4
+    field = jnp.full((32, 32, 2), t)
+    out = np.asarray(fields.self_compose(field, iters=10))
+    inner = out[8:24, 8:24]  # away from the flagged boundary
+    np.testing.assert_allclose(inner, t * (2**10), rtol=1e-4)
+
+
+def test_self_compose_flags_oob_as_nan():
+    field = jnp.full((16, 16, 2), 1.0)  # leaves bounds almost immediately
+    out = np.asarray(fields.self_compose(field, iters=5))
+    assert np.isnan(out).any()
+
+
+def test_clamp_near_zeros():
+    f = jnp.array([[[1e-4, -5e-4], [2e-3, 0.5]]])
+    out = np.asarray(fields.clamp_near_zeros(f))
+    np.testing.assert_allclose(out, [[[0.0, 0.0], [2e-3, 0.5]]])
+
+
+def test_flow_iflow_inversion():
+    # f(x) + if(x + f(x)) ~ 0: the hierarchical composition must keep forward
+    # and inverse fields consistent (the property the reference buys with its
+    # 2^17 diffeomorphism composition, h:256-261).
+    bank = warpgen.make_warp_bank(
+        root_key(0), jnp.int32(0), flowgen.DataGenConfig(mode=9, width=W, height=H)
+    )
+    f = np.nan_to_num(np.asarray(bank.flow[0]))
+    i = np.nan_to_num(np.asarray(bank.iflow[0]))
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    samp = np.asarray(
+        texture.sample_bilinear(
+            jnp.asarray(i), xx + f[..., 0], yy + f[..., 1], wrap="clamp"
+        )
+    )
+    res = np.abs(f + samp)
+    assert res.mean() < 0.05
+    assert np.median(res) < 0.02
+
+
+def test_bank_magnitudes_and_shape():
+    cfg = flowgen.DataGenConfig(mode=9, width=W, height=H)
+    bank = warpgen.make_warp_bank(root_key(1), jnp.int32(2), cfg)
+    n = warpgen.bank_size(cfg)
+    assert bank.flow.shape == (n, H, W, 2)
+    mags = np.abs(np.nan_to_num(np.asarray(bank.flow)))
+    # Tiny elementary displacements x 2^17: nonrigid but bounded deformation.
+    assert 0.5 < mags.mean() < 20.0
+    assert mags.max() < 120.0
+
+
+def test_mode9_end_to_end():
+    cfg = flowgen.DataGenConfig(mode=9, batch_size=2, width=W, height=H)
+    atlas = flowgen.procedural_atlas(3, height=H, width=W)
+    out = flowgen.make_generate_fn(cfg)(
+        root_key(1), jnp.int32(0), jnp.asarray(atlas, jnp.float32)
+    )
+    f = np.asarray(out["flow0"])
+    assert np.isfinite(f).all()
+    assert np.isfinite(np.asarray(out["image0"])).all()
+    assert np.abs(f).max() < 600.0
