@@ -7,7 +7,7 @@ Process_TaskBucket (cpp:1175-1254). The reference renders each object on its
 own CPU thread (masks via AGG scanlines, textures via AGG warps) and then
 composites sequentially; here the *whole sample* is one fused XLA program:
 
-  for each object slot (lax.fori_loop, painter's order = ascending id):
+  for each on-screen object (ascending id = painter's order):
       coverage  = mask algebra over the object's primitives (analytic, per-pixel)
       frame0/1  = alpha blend of the object's texture (blitObject, cpp:762-799)
       flow      = where(fully covered in frame 0, object flow, flow)
@@ -17,10 +17,26 @@ composites sequentially; here the *whole sample* is one fused XLA program:
 Occlusion therefore needs no index image at all: ascending-id overwrite *is*
 the painter's algorithm.
 
+Performance shape (the XLA-level analog of a tiled rasterizer):
+
+* Screen bounding boxes of every primitive are computed DENSELY up front
+  (vectorized over all object/component slots — a few-KFLOP side computation),
+  so the hot loop contains no per-object geometry control flow.
+* The object loop runs with a *runtime* trip count over a compacted index list
+  of on-screen objects only (~2/3 of sampled objects land fully off-frame by
+  construction of the placement distribution and are never touched).
+* Each on-screen object evaluates coverage / texture / blending only on a
+  dynamically positioned WINDOW around its bbox (lax.switch over static window
+  classes + dynamic_update_slice into the accumulators). Outside the window
+  the object provably contributes nothing (bbox + AA margin), so results are
+  bit-identical to full-frame evaluation.
+* All texture resampling uses quad-packed gather tables (ops/texture.py
+  make_quad): one TPU gather per bilinear tap set instead of four.
+
 Background handling (MovingObjectBackground, cpp:654-718): the background's
-2Wx2H texture + center-crop construction reduces analytically to an affine
-about the image center; both frames and its flow are computed with single
-gathers — the 4x-size intermediate texture of the reference never exists.
+2Wx2H randomized crop + motion warp + center-crop construction composes into
+one affine per frame, so each background frame is a single WxH gather — the
+reference's 4x-size intermediate texture never exists.
 """
 
 from __future__ import annotations
@@ -31,9 +47,15 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..config import MAX_COMPONENTS, DataGenConfig
+from ..config import DataGenConfig
 from ..ops import affine, raster, texture
 from ..params.blueprint import Scene
+
+# Static window classes for per-object evaluation: (height, width). ``None``
+# means full frame. Sizes are TPU-layout friendly (sublane x lane multiples).
+WINDOW_CLASSES = ((192, 256), None)
+AA_MARGIN = 2.0          # AA feather reaches 0.5 px outside the outline
+WARP_MARGIN = 48.0       # max |iflow| of composed warp fields (~40 px)
 
 
 class WarpBank(NamedTuple):
@@ -51,15 +73,13 @@ class RenderOutput(NamedTuple):
     flow1: Optional[jax.Array]  # (H, W, 2) inverse flow or None
 
 
-def _fg_texture(atlas, tex_id, height, width):
-    """Foreground texture: deterministic center crop of the canonical source
-    (Texture::getRandomizedCrop called with defaults at RealizeObjectBlueprint,
-    cpp:1149-1150 — the fg shift/rot/zoom streams exist but are never used)."""
-    src = lax.dynamic_index_in_dim(atlas, tex_id, axis=0, keepdims=False)
-    sh, sw = src.shape[0], src.shape[1]
-    y0 = (sh - height) // 2
-    x0 = (sw - width) // 2
-    return lax.dynamic_slice(src, (y0, x0, 0), (height, width, src.shape[2]))
+def prepare_atlas(atlas):
+    """Pack a (T, SH, SW, 3) uint8 texture atlas into quad gather tables
+    (T, SH, SW, 12) uint8 — see ops/texture.make_quad."""
+    atlas = jnp.asarray(atlas)
+    if atlas.dtype != jnp.uint8:
+        atlas = jnp.clip(jnp.round(atlas), 0, 255).astype(jnp.uint8)
+    return jax.vmap(texture.make_quad)(atlas)
 
 
 def _sample_warp_crop(bank: WarpBank, slot):
@@ -76,69 +96,121 @@ def _bilinear_flow_at(field, x, y):
     return v[..., 0], v[..., 1]
 
 
-def _object_coverage(prims, k, motion_k, px, py):
-    """Mask algebra over one object's primitive slots, both frames.
-
-    Equivalent to rendering each component's masks (MovingObjectEllipse/
-    Polygon::renderMasks, cpp:465-534) and combining them in order with the
-    composite screen algebra (cpp:591-646). Deviation: for warping objects the
-    reference warps each component mask then combines; we combine then warp —
-    the operations commute up to bilinear-interpolation cross terms at edges.
-    """
-    shape = px.shape
-    acc = (
-        jnp.zeros(shape, jnp.float32), jnp.zeros(shape, bool),
-        jnp.zeros(shape, jnp.float32), jnp.zeros(shape, bool),
-    )
-
-    def component(c, acc):
-        aa0, in0, aa1, in1 = acc
-        valid = prims.valid[k, c]
-
-        def run(acc):
-            aa0, in0, aa1, in1 = acc
-            intr = prims.intrinsic[k, c]
-            tr1 = affine.compose(intr, motion_k)
-
-            def poly(_):
-                pts = prims.edge_pts[k, c]
-                c0 = raster.polygon_coverage(affine.apply(intr, pts), px, py)
-                c1 = raster.polygon_coverage(affine.apply(tr1, pts), px, py)
-                return c0 + c1
-
-            def ellipse(_):
-                rx = prims.ell_rx[k, c]
-                ry = prims.ell_ry[k, c]
-                c0 = raster.ellipse_coverage(intr, rx, ry, px, py)
-                c1 = raster.ellipse_coverage(tr1, rx, ry, px, py)
-                return c0 + c1
-
-            n_aa0, n_in0, n_aa1, n_in1 = lax.cond(
-                prims.is_poly[k, c], poly, ellipse, None
-            )
-            additive = prims.additive[k, c]
-            add = raster.combine_additive
-            sub = raster.combine_subtractive
-            aa0n, in0n = jax.tree.map(
-                lambda x, y: jnp.where(additive, x, y),
-                add(aa0, in0, n_aa0, n_in0), sub(aa0, in0, n_aa0, n_in0),
-            )
-            aa1n, in1n = jax.tree.map(
-                lambda x, y: jnp.where(additive, x, y),
-                add(aa1, in1, n_aa1, n_in1), sub(aa1, in1, n_aa1, n_in1),
-            )
-            return aa0n, in0n, aa1n, in1n
-
-        return lax.cond(valid, run, lambda a: a, acc)
-
-    return lax.fori_loop(0, MAX_COMPONENTS, component, acc)
-
-
 def _warp_binary_threshold(warped):
     """A warped binary mask counts as 'fully covering' only where the bilinear
     interpolation of the 0/1 mask stays at 1 (the reference warps the u8 mask
     and then tests == 255, cpp:370-386 + 765-773)."""
     return warped >= 1.0 - (0.5 / 255.0)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized per-object geometry (outside the hot loop)
+# ---------------------------------------------------------------------------
+
+
+def _all_bboxes(prims, motions):
+    """Union screen bboxes of every object's valid primitives for both frames,
+    densely over all [K, C] slots. Exact for polygons (min/max of transformed
+    outline points) and ellipses (affine ellipse extents).
+
+    Returns ((lo0, hi0), (lo1, hi1)) with [K, 2] leaves (x, y)."""
+    intr = prims.intrinsic                                  # [K,C,2,3]
+    tr1 = affine.compose(intr, motions[:, None])            # [K,C,2,3]
+
+    def bbox(tr):
+        pts = affine.apply(tr, prims.edge_pts)              # [K,C,E,2]
+        pmin = jnp.min(pts, axis=2)
+        pmax = jnp.max(pts, axis=2)
+        center = tr[..., 2]                                 # [K,C,2]
+        lin = tr[..., :2]                                   # [K,C,2,2]
+        ext = jnp.sqrt(
+            (lin[..., 0] * prims.ell_rx[..., None]) ** 2
+            + (lin[..., 1] * prims.ell_ry[..., None]) ** 2
+        )                                                   # [K,C,2]
+        is_poly = prims.is_poly[..., None]
+        lo = jnp.where(is_poly, pmin, center - ext)
+        hi = jnp.where(is_poly, pmax, center + ext)
+        big = 1e9
+        valid = prims.valid[..., None]
+        lo = jnp.where(valid, lo, big)
+        hi = jnp.where(valid, hi, -big)
+        return jnp.min(lo, axis=1), jnp.max(hi, axis=1)     # [K,2]
+
+    return bbox(jnp.broadcast_to(intr, tr1.shape)), bbox(tr1)
+
+
+def _offscreen(lo, hi, margin, H, W):
+    """[K]-vectorized: bbox (+margin) misses the frame entirely."""
+    return (
+        (hi[:, 0] < -margin)
+        | (lo[:, 0] > W + margin)
+        | (hi[:, 1] < -margin)
+        | (lo[:, 1] > H + margin)
+    )
+
+
+def _size_classes(lo, hi, margin, classes):
+    """[K]-vectorized smallest window class whose size fits bbox + margin.
+    ``classes``: static tuple of (wh, ww) with a trailing ``None`` = full."""
+    w = hi[:, 0] - lo[:, 0] + 2 * margin
+    h = hi[:, 1] - lo[:, 1] + 2 * margin
+    cls = jnp.full(w.shape, len(classes) - 1, jnp.int32)
+    for i in reversed(range(len(classes) - 1)):
+        wh, ww = classes[i]
+        fits = (w <= ww) & (h <= wh)
+        cls = jnp.where(fits, i, cls)
+    return cls
+
+
+def _window_origin(bmin, bmax, wh, ww, H, W):
+    cx = (bmin[0] + bmax[0]) * 0.5
+    cy = (bmin[1] + bmax[1]) * 0.5
+    x0 = jnp.clip(jnp.round(cx - ww / 2.0).astype(jnp.int32), 0, W - ww)
+    y0 = jnp.clip(jnp.round(cy - wh / 2.0).astype(jnp.int32), 0, H - wh)
+    return y0, x0
+
+
+def _window_grids(y0, x0, wh, ww):
+    ys = y0.astype(jnp.float32) + jnp.arange(wh, dtype=jnp.float32)
+    xs = x0.astype(jnp.float32) + jnp.arange(ww, dtype=jnp.float32)
+    py, px = jnp.meshgrid(ys, xs, indexing="ij")
+    return px, py
+
+
+def _frame_coverage(prims, k, motion_k, frame, px, py, n_prims_k):
+    """Coverage of one object for one frame on an arbitrary pixel grid: mask
+    algebra over primitive slots 0..n_prims-1 (MovingObjectComposite::
+    renderMasks order, cpp:591-646; simple objects are one additive
+    primitive). Primitive slots are packed, so the loop trip count is the
+    actual component count — no per-slot validity branches."""
+    shape = px.shape
+    acc = (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, bool))
+
+    def component(c, acc):
+        aa_acc, in_acc = acc
+        intr = prims.intrinsic[k, c]
+        tr = intr if frame == 0 else affine.compose(intr, motion_k)
+
+        def poly(_):
+            return raster.polygon_coverage(
+                affine.apply(tr, prims.edge_pts[k, c]), px, py
+            )
+
+        def ellipse(_):
+            return raster.ellipse_coverage(
+                tr, prims.ell_rx[k, c], prims.ell_ry[k, c], px, py
+            )
+
+        aa, inside = lax.cond(prims.is_poly[k, c], poly, ellipse, None)
+        additive = prims.additive[k, c]
+        a_aa, a_in = raster.combine_additive(aa_acc, in_acc, aa, inside)
+        s_aa, s_in = raster.combine_subtractive(aa_acc, in_acc, aa, inside)
+        return (
+            jnp.where(additive, a_aa, s_aa),
+            jnp.where(additive, a_in, s_in),
+        )
+
+    return lax.fori_loop(0, n_prims_k, component, acc)
 
 
 def render_sample(
@@ -148,35 +220,36 @@ def render_sample(
     warp_bank: Optional[WarpBank] = None,
 ) -> RenderOutput:
     """Render one scene blueprint into (image0, image1, flow) — the fused
-    equivalent of Process_TaskBucket (cpp:1175-1254)."""
+    equivalent of Process_TaskBucket (cpp:1175-1254). ``atlas`` is the
+    quad-packed uint8 atlas from :func:`prepare_atlas`."""
     H, W = cfg.height, cfg.width
+    SH, SW = atlas.shape[1], atlas.shape[2]
     has_warp = warp_bank is not None and cfg.mode_spec.warp_p > 0.0
-    px, py = raster.pixel_grid(W, H)           # coverage at pixel centers
-    ix, iy = raster.pixel_grid(W, H, 0.0)      # flow at integer coords
+    ix, iy = raster.pixel_grid(W, H, 0.0)      # integer coords (flow/texture)
 
     cx, cy = W / 2.0, H / 2.0
     bg = scene.background
 
     # ---- Background (MovingObjectBackground, cpp:654-718) ----
-    src = lax.dynamic_index_in_dim(atlas, bg.tex_id % atlas.shape[0], 0, False)
-    big = texture.randomized_crop(
-        src, 2 * H, 2 * W, bg.tex_rot_deg, bg.tex_zoom,
-        bg.tex_shift[0], bg.tex_shift[1],
+    src_quad = lax.dynamic_index_in_dim(atlas, bg.tex_id % atlas.shape[0], 0, False)
+    crop_t = texture.randomized_crop_transform(
+        SH, SW, 2 * H, 2 * W,
+        bg.tex_rot_deg, bg.tex_zoom, bg.tex_shift[0], bg.tex_shift[1],
     )
     # Pixel motion about the image center: the reference's intrinsic-conjugated
-    # big-texture construction (renderTransformedTexture cpp:665-682 +
-    # getPointFlow cpp:692-718) reduces to conjugate_about(M_bg, center).
+    # big-texture construction (+ getPointFlow cpp:692-718) reduces to
+    # conjugate_about(M_bg, center).
     bg_pixel_motion = affine.conjugate_about(bg.motion, cx, cy)
-    # In big-texture coordinates (q = p + c) the same map is conjugated about
-    # the big center (W, H).
     bg_big_motion = affine.conjugate_about(bg.motion, float(W), float(H))
     bg_big_inv = affine.invert(bg_big_motion)
 
-    frame0 = big[H // 2 : H // 2 + H, W // 2 : W // 2 + W]
+    qx, qy = ix + cx, iy + cy                  # big-texture coords of our pixels
+    s0x, s0y = affine.apply_xy(crop_t, qx, qy)
+    frame0 = texture.sample_bilinear_quad(src_quad, s0x, s0y, wrap="reflect")
 
-    qx, qy = px + cx, py + cy                  # big-texture coords of our pixels
     if has_warp:
         bgf, bgi = _sample_warp_crop(warp_bank, bg.warp_slot)
+
         # The background field is the WxH crop resized x2 with magnitudes x2
         # (cpp:1194-1202). Sample it implicitly: value at big coord q is
         # 2 * field((q + 0.5)/2 - 0.5).
@@ -186,11 +259,13 @@ def render_sample(
             return 2.0 * fx, 2.0 * fy
 
         idx, idy = big_field_at(bgi, qx, qy)
-        wq_x, wq_y = jnp.where(bg.warp, qx + idx, qx), jnp.where(bg.warp, qy + idy, qy)
+        wq_x = jnp.where(bg.warp, qx + idx, qx)
+        wq_y = jnp.where(bg.warp, qy + idy, qy)
     else:
         wq_x, wq_y = qx, qy
-    sx, sy = affine.apply_xy(bg_big_inv, wq_x, wq_y)
-    frame1 = texture.sample_bilinear(big, sx, sy, wrap="reflect")
+    bx, by = affine.apply_xy(bg_big_inv, wq_x, wq_y)
+    s1x, s1y = affine.apply_xy(crop_t, bx, by)
+    frame1 = texture.sample_bilinear_quad(src_quad, s1x, s1y, wrap="reflect")
 
     fqx, fqy = affine.apply_xy(bg_pixel_motion, ix, iy)
     flow_x = fqx - ix
@@ -212,79 +287,183 @@ def render_sample(
         iqx, iqy = affine.apply_xy(bg_inv_pixel, ix, iy)
         iflow_x, iflow_y = iqx - ix, iqy - iy
     else:
-        iflow_x = iflow_y = None
-
-    # ---- Foreground objects, ascending id = painter's order ----
-    def blit(k, state):
-        frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = state
-
-        def run(state):
-            frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = state
-            motion_k = scene.objects.motion[k]
-            motion_inv_k = scene.objects.motion_inv[k]
-            aa0, in0, aa1, in1 = _object_coverage(scene.prims, k, motion_k, px, py)
-
-            tex0 = _fg_texture(atlas, scene.objects.tex_id[k] % atlas.shape[0], H, W)
-            sx, sy = affine.apply_xy(motion_inv_k, px - 0.5, py - 0.5)
-
-            if has_warp:
-                warping = scene.objects.warp[k] & scene.objects.valid[k]
-                wf, wi = _sample_warp_crop(warp_bank, scene.objects.warp_slot[k])
-                idx, idy = _bilinear_flow_at(wi, px - 0.5, py - 0.5)
-                # Frame-1 texture: tex0(Minv(x + iflow(x))) (cpp:341-346).
-                wsx, wsy = affine.apply_xy(
-                    motion_inv_k, px - 0.5 + idx, py - 0.5 + idy
-                )
-                sx = jnp.where(warping, wsx, sx)
-                sy = jnp.where(warping, wsy, sy)
-            tex1 = texture.sample_bilinear(tex0, sx, sy, wrap="reflect")
-
-            if has_warp:
-                # Frame-1 masks warped by the inverse field (cpp:370-386).
-                aa1_w = texture.sample_bilinear(
-                    aa1[..., None], px - 0.5 + idx, py - 0.5 + idy, wrap="zero"
-                )[..., 0]
-                in1_w = _warp_binary_threshold(
-                    texture.sample_bilinear(
-                        in1.astype(jnp.float32)[..., None],
-                        px - 0.5 + idx, py - 0.5 + idy, wrap="zero",
-                    )[..., 0]
-                )
-                aa1 = jnp.where(warping, aa1_w, aa1)
-                in1 = jnp.where(warping, in1_w, in1)
-
-            m0 = aa0 if cfg.use_antialiasing else in0.astype(jnp.float32)
-            m1 = aa1 if cfg.use_antialiasing else in1.astype(jnp.float32)
-            frame0 = jnp.round(frame0 * (1.0 - m0[..., None]) + tex0 * m0[..., None])
-            frame1 = jnp.round(frame1 * (1.0 - m1[..., None]) + tex1 * m1[..., None])
-
-            # Flow: affine displacement (+ forward field at the moved point,
-            # gated on frame bounds, cpp:388-407), where frame-0 mask fully
-            # covers (cpp:762-818).
-            mvx, mvy = affine.apply_xy(motion_k, ix, iy)
-            ofx, ofy = mvx - ix, mvy - iy
-            if has_warp:
-                wfx, wfy = _bilinear_flow_at(wf, mvx, mvy)
-                inb = (mvx >= 0) & (mvx < W) & (mvy >= 0) & (mvy < H) & warping
-                ofx = ofx + jnp.where(inb, wfx, 0.0)
-                ofy = ofy + jnp.where(inb, wfy, 0.0)
-            flow_x = jnp.where(in0, ofx, flow_x)
-            flow_y = jnp.where(in0, ofy, flow_y)
-
-            if cfg.compute_inverse_flow:
-                imx, imy = affine.apply_xy(motion_inv_k, ix, iy)
-                iflow_x = jnp.where(in1, imx - ix, iflow_x)
-                iflow_y = jnp.where(in1, imy - iy, iflow_y)
-
-            return frame0, frame1, flow_x, flow_y, iflow_x, iflow_y
-
-        return lax.cond(scene.objects.valid[k], run, lambda s: s, state)
-
-    if iflow_x is None:
         iflow_x = jnp.zeros_like(flow_x)
         iflow_y = jnp.zeros_like(flow_y)
+
+    # Drop window classes that don't fit the configured frame (small frames
+    # fall straight through to full-frame evaluation).
+    window_classes = tuple(
+        c for c in (WINDOW_CLASSES if cfg.windowed else (None,))
+        if c is None or (c[0] <= H and c[1] <= W)
+    )
+
+    # ---- Vectorized per-object precomputation ----
+    prims = scene.prims
+    objs = scene.objects
+    (lo0, hi0), (lo1, hi1) = _all_bboxes(prims, objs.motion)
+    n_prims = jnp.sum(prims.valid, axis=1).astype(jnp.int32)        # [K]
+    if has_warp:
+        warp_k = objs.warp & objs.valid
+        margin1 = AA_MARGIN + jnp.where(warp_k, WARP_MARGIN, 0.0)   # [K]
+    else:
+        margin1 = jnp.full(objs.valid.shape, AA_MARGIN)
+    on0 = objs.valid & ~_offscreen(lo0, hi0, AA_MARGIN, H, W)
+    on1 = objs.valid & ~_offscreen(lo1, hi1, margin1, H, W)
+    cls0 = _size_classes(lo0, hi0, AA_MARGIN, window_classes)
+    cls1 = _size_classes(lo1, hi1, margin1, window_classes)
+    process = on0 | on1
+    # Compacted painter's order: on-screen objects first, ascending id
+    # (stable sort preserves the reference's ascending-ID blit order,
+    # cpp:1216-1223).
+    order = jnp.argsort(~process, stable=True)
+    count = jnp.sum(process).astype(jnp.int32)
+
+    # Foreground texture: deterministic center crop of the canonical source
+    # (Texture::getRandomizedCrop called with defaults at
+    # RealizeObjectBlueprint, cpp:1149-1150).
+    crop_y0 = (SH - H) // 2
+    crop_x0 = (SW - W) // 2
+
+    def blit(i, state):
+        frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = state
+        k = order[i]
+        motion_k = objs.motion[k]
+        motion_inv_k = objs.motion_inv[k]
+        tex_id = objs.tex_id[k] % atlas.shape[0]
+        n_prims_k = n_prims[k]
+
+        if has_warp:
+            warping = objs.warp[k]
+            wf, wi = _sample_warp_crop(warp_bank, objs.warp_slot[k])
+        else:
+            warping = None
+            wf = wi = None
+
+        # ---------------- frame 0: blend + flow ----------------
+        def f0_branch(wh, ww):
+            full = wh == H and ww == W
+
+            def branch(ops):
+                frame0, flow_x, flow_y = ops
+                if full:
+                    y0 = jnp.int32(0)
+                    x0 = jnp.int32(0)
+                else:
+                    y0, x0 = _window_origin(lo0[k], hi0[k], wh, ww, H, W)
+                wpx, wpy = _window_grids(y0, x0, wh, ww)
+                aa0, in0 = _frame_coverage(
+                    prims, k, motion_k, 0, wpx + 0.5, wpy + 0.5, n_prims_k
+                )
+                m0 = aa0 if cfg.use_antialiasing else in0.astype(jnp.float32)
+
+                tex_w = lax.dynamic_slice(
+                    atlas, (tex_id, crop_y0 + y0, crop_x0 + x0, 0), (1, wh, ww, 3)
+                )[0].astype(jnp.float32)
+                f0_w = lax.dynamic_slice(frame0, (y0, x0, 0), (wh, ww, 3))
+                f0_w = jnp.round(f0_w * (1.0 - m0[..., None]) + tex_w * m0[..., None])
+                frame0 = lax.dynamic_update_slice(frame0, f0_w, (y0, x0, 0))
+
+                # Flow at integer coords (computeFlowImage, cpp:807-817).
+                mvx, mvy = affine.apply_xy(motion_k, wpx, wpy)
+                ofx, ofy = mvx - wpx, mvy - wpy
+                if has_warp:
+                    wfx, wfy = _bilinear_flow_at(wf, mvx, mvy)
+                    inb = (mvx >= 0) & (mvx < W) & (mvy >= 0) & (mvy < H) & warping
+                    ofx = ofx + jnp.where(inb, wfx, 0.0)
+                    ofy = ofy + jnp.where(inb, wfy, 0.0)
+                fx_w = lax.dynamic_slice(flow_x, (y0, x0), (wh, ww))
+                fy_w = lax.dynamic_slice(flow_y, (y0, x0), (wh, ww))
+                fx_w = jnp.where(in0, ofx, fx_w)
+                fy_w = jnp.where(in0, ofy, fy_w)
+                flow_x = lax.dynamic_update_slice(flow_x, fx_w, (y0, x0))
+                flow_y = lax.dynamic_update_slice(flow_y, fy_w, (y0, x0))
+                return frame0, flow_x, flow_y
+
+            return branch
+
+        # ---------------- frame 1: blend (+ inverse flow) ----------------
+        def f1_branch(wh, ww):
+            full = wh == H and ww == W
+
+            def branch(ops):
+                frame1, iflow_x, iflow_y = ops
+                if full:
+                    y0 = jnp.int32(0)
+                    x0 = jnp.int32(0)
+                else:
+                    y0, x0 = _window_origin(lo1[k], hi1[k], wh, ww, H, W)
+                wpx, wpy = _window_grids(y0, x0, wh, ww)
+                aa1, in1 = _frame_coverage(
+                    prims, k, motion_k, 1, wpx + 0.5, wpy + 0.5, n_prims_k
+                )
+
+                sx, sy = affine.apply_xy(motion_inv_k, wpx, wpy)
+                if has_warp:
+                    # Frame-1 masks and texture warped by the inverse field
+                    # (renderTransformedTexture cpp:341-346, renderMasks
+                    # cpp:370-386). Mask warp is sampled within the window.
+                    idx, idy = _bilinear_flow_at(wi, wpx, wpy)
+                    wsx, wsy = affine.apply_xy(motion_inv_k, wpx + idx, wpy + idy)
+                    sx = jnp.where(warping, wsx, sx)
+                    sy = jnp.where(warping, wsy, sy)
+                    cov = jnp.stack([aa1, in1.astype(jnp.float32)], -1)
+                    cov_w = texture.sample_bilinear(
+                        cov,
+                        wpx + idx - x0.astype(jnp.float32),
+                        wpy + idy - y0.astype(jnp.float32),
+                        wrap="zero",
+                    )
+                    aa1 = jnp.where(warping, cov_w[..., 0], aa1)
+                    in1 = jnp.where(
+                        warping, _warp_binary_threshold(cov_w[..., 1]), in1
+                    )
+
+                # Sample the object texture (the WxH center crop) at the
+                # motion-inverse positions, reflect-wrapped in crop space
+                # (getTransformedTexture, cpp:168-231).
+                tex_quad = lax.dynamic_slice(
+                    atlas, (tex_id, crop_y0, crop_x0, 0), (1, H, W, 12)
+                )[0]
+                tex1_w = texture.sample_bilinear_quad(tex_quad, sx, sy, wrap="reflect")
+
+                m1 = aa1 if cfg.use_antialiasing else in1.astype(jnp.float32)
+                f1_w = lax.dynamic_slice(frame1, (y0, x0, 0), (wh, ww, 3))
+                f1_w = jnp.round(f1_w * (1.0 - m1[..., None]) + tex1_w * m1[..., None])
+                frame1 = lax.dynamic_update_slice(frame1, f1_w, (y0, x0, 0))
+
+                if cfg.compute_inverse_flow:
+                    imx, imy = affine.apply_xy(motion_inv_k, wpx, wpy)
+                    ifx_w = lax.dynamic_slice(iflow_x, (y0, x0), (wh, ww))
+                    ify_w = lax.dynamic_slice(iflow_y, (y0, x0), (wh, ww))
+                    ifx_w = jnp.where(in1, imx - wpx, ifx_w)
+                    ify_w = jnp.where(in1, imy - wpy, ify_w)
+                    iflow_x = lax.dynamic_update_slice(iflow_x, ifx_w, (y0, x0))
+                    iflow_y = lax.dynamic_update_slice(iflow_y, ify_w, (y0, x0))
+                return frame1, iflow_x, iflow_y
+
+            return branch
+
+        def dispatch(make_branch, on, cls, ops):
+            branches = [
+                make_branch(*(c if c is not None else (H, W)))
+                for c in window_classes
+            ]
+            if len(branches) == 1:
+                sel = branches[0]
+            else:
+                sel = lambda o: lax.switch(cls[k], branches, o)
+            return lax.cond(on[k], sel, lambda o: o, ops)
+
+        frame0, flow_x, flow_y = dispatch(
+            f0_branch, on0, cls0, (frame0, flow_x, flow_y)
+        )
+        frame1, iflow_x, iflow_y = dispatch(
+            f1_branch, on1, cls1, (frame1, iflow_x, iflow_y)
+        )
+        return frame0, frame1, flow_x, flow_y, iflow_x, iflow_y
+
     state = (frame0, frame1, flow_x, flow_y, iflow_x, iflow_y)
-    state = lax.fori_loop(0, scene.objects.valid.shape[0], blit, state)
+    state = lax.fori_loop(0, count, blit, state)
     frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = state
 
     flow0 = jnp.stack([flow_x, flow_y], axis=-1)

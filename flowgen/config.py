@@ -279,6 +279,10 @@ class DataGenConfig:
     warp_fields_per_batch: int = 1
     max_objects: int = MAX_OBJECTS
     dtype: str = "float32"
+    # Per-object windowed evaluation (bbox-culled coverage/blend/gather).
+    # Results are identical to full-frame evaluation; disable only to
+    # cross-check or debug (see tests/test_render.py).
+    windowed: bool = True
 
     def __post_init__(self):
         if self.mode not in MODES:

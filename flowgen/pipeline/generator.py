@@ -57,10 +57,13 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None):
     ``base_index .. base_index+B-1`` (default ``step*B``) and renders them.
     Pure; jit with cfg static. ``step`` additionally keys the per-batch
     warp-field bank (mode 9)."""
+    from ..compose.render import prepare_atlas
+
     b = cfg.batch_size
     if base_index is None:
         base_index = step * b
     indices = base_index + jnp.arange(b)
+    atlas = prepare_atlas(atlas)  # quad-packed uint8 gather tables
     warp_bank = None
     n_slots = 1
     if cfg.mode_spec.warp_p > 0.0:
@@ -110,7 +113,7 @@ class Generator:
         self.cfg = cfg
         if atlas is None:
             atlas = texture_io.atlas_for_config(cfg)
-        self._atlas = jnp.asarray(atlas, jnp.float32)
+        self._atlas = jnp.asarray(atlas)  # uint8; quad-packed inside the step
         self._root = root_key(cfg.seed)
         self._fn = make_generate_fn(cfg, mesh)
         self._step = start_step
