@@ -1,0 +1,258 @@
+"""Scalar NumPy oracle renderer.
+
+An independent re-implementation of the reference's *render semantics*
+(src/caffe/DataGenerator.cpp: MovingObject rendering, RenderCore compositing,
+flow synthesis) that follows the reference's literal order of operations —
+materialize the 2Wx2H background texture, warp whole textures, rasterize masks,
+blit in ascending-ID order, evaluate flow per pixel through getPointFlow —
+instead of the TPU renderer's composed-affine / windowed formulation.
+
+It consumes the same ``Scene`` blueprint pytree as the TPU renderer, so
+agreement between the two validates the TPU path's algebraic restructurings
+(background conjugation identity, windowing, quad gathers) against a direct
+transcription of the semantics. Used by tests/test_oracle.py; NumPy-only, no
+performance goals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Scalar helpers
+# ---------------------------------------------------------------------------
+
+
+def apply_affine(t, pts):
+    """t: (2,3); pts: (N,2)."""
+    return pts @ np.asarray(t)[:, :2].T + np.asarray(t)[:, 2]
+
+
+def invert_affine(t):
+    t = np.asarray(t)
+    l = t[:, :2]
+    li = np.linalg.inv(l)
+    return np.concatenate([li, (-li @ t[:, 2])[:, None]], axis=1)
+
+
+def compose_affine(a, b):
+    """Apply a then b (AGG postfix order)."""
+    a, b = np.asarray(a), np.asarray(b)
+    l = b[:, :2] @ a[:, :2]
+    t = b[:, :2] @ a[:, 2] + b[:, 2]
+    return np.concatenate([l, t[:, None]], axis=1)
+
+
+def reflect_index(i, n):
+    period = 2 * n
+    i = np.remainder(i, period)
+    return np.where(i >= n, period - 1 - i, i)
+
+
+def bilinear(img, x, y, wrap="reflect"):
+    h, w = img.shape[:2]
+    x0 = np.floor(x).astype(np.int64)
+    y0 = np.floor(y).astype(np.int64)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+
+    def wi(i, n):
+        if wrap == "reflect":
+            return reflect_index(i, n)
+        return np.clip(i, 0, n - 1)
+
+    v00 = img[wi(y0, h), wi(x0, w)]
+    v01 = img[wi(y0, h), wi(x0 + 1, w)]
+    v10 = img[wi(y0 + 1, h), wi(x0, w)]
+    v11 = img[wi(y0 + 1, h), wi(x0 + 1, w)]
+    out = (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+    if wrap == "zero":
+        ok = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+        out = np.where(ok[..., None], out, 0.0)
+    return out
+
+
+def polygon_inside(pts, px, py):
+    """Nonzero-winding inside test at sample points (AGG default fill rule)."""
+    wn = np.zeros(px.shape, np.int64)
+    n = len(pts)
+    for i in range(n):
+        a = pts[i]
+        b = pts[(i + 1) % n]
+        d = b - a
+        cross = d[0] * (py - a[1]) - d[1] * (px - a[0])
+        wn += ((a[1] <= py) & (b[1] > py) & (cross > 0)).astype(np.int64)
+        wn -= ((b[1] <= py) & (a[1] > py) & (cross < 0)).astype(np.int64)
+    return wn != 0
+
+
+def polygon_aa(pts, px, py):
+    """Signed-distance AA coverage, matching ops/raster.polygon_coverage."""
+    inside = polygon_inside(pts, px, py)
+    d = np.full(px.shape, np.inf)
+    n = len(pts)
+    p = np.stack([px, py], -1)
+    for i in range(n):
+        a = pts[i]
+        b = pts[(i + 1) % n]
+        ab = b - a
+        len2 = ab @ ab
+        if len2 < 1e-12:
+            d = np.minimum(d, np.linalg.norm(p - a, axis=-1))
+            continue
+        t = np.clip(((p - a) @ ab) / len2, 0.0, 1.0)
+        proj = a + t[..., None] * ab
+        d = np.minimum(d, np.linalg.norm(p - proj, axis=-1))
+    sdf = np.where(inside, -d, d)
+    return np.clip(0.5 - sdf, 0.0, 1.0), inside
+
+
+def ellipse_polygon(rx, ry, steps=256):
+    ang = np.linspace(0, 2 * np.pi, steps, endpoint=False)
+    return np.stack([rx * np.cos(ang), ry * np.sin(ang)], -1)
+
+
+# ---------------------------------------------------------------------------
+# Reference-order rendering
+# ---------------------------------------------------------------------------
+
+
+def randomized_crop(src, out_h, out_w, angle_deg, zoom, sx, sy):
+    """Literal shift -> rotate -> crop -> resize chain of
+    Texture::getRandomizedCrop (cpp:87-109), each stage materialized."""
+    h, w = src.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    # shift by (sx, sy) (content moves +s => source coord -s), mirror boundary
+    shifted = bilinear(src, xx - sx, yy - sy, wrap="reflect")
+    # rotate about center by angle_deg degrees
+    a = np.deg2rad(angle_deg)
+    cx, cy = w / 2.0, h / 2.0
+    rx = np.cos(a) * (xx - cx) - np.sin(a) * (yy - cy) + cx
+    ry = np.sin(a) * (xx - cx) + np.cos(a) * (yy - cy) + cy
+    rotated = bilinear(shifted, rx, ry, wrap="reflect")
+    # crop box anchored at centered start, size out/zoom (cpp:99-102)
+    bx0 = w / 2.0 - out_w / 2.0
+    by0 = h / 2.0 - out_h / 2.0
+    bw = out_w / zoom
+    bh = out_h / zoom
+    oy, ox = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    u = bx0 + (ox + 0.5) * bw / out_w - 0.5
+    v = by0 + (oy + 0.5) * bh / out_h - 0.5
+    return bilinear(rotated, u, v, wrap="reflect")
+
+
+def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True):
+    """Render one scene (numpy-converted Scene pytree, no batch dim) the
+    reference way. Returns (image0, image1, flow0) float arrays.
+
+    Supports the rigid modes (no warp fields).
+    """
+    W, H = width, height
+    bg = scene_np["background"]
+    objs = scene_np["objects"]
+    prims = scene_np["prims"]
+    T = atlas_np.shape[0]
+    atlas_np = atlas_np.astype(np.float64)
+
+    # --- Background object (MovingObjectBackground, cpp:654-718) ---
+    src = atlas_np[int(bg["tex_id"]) % T]
+    big0 = randomized_crop(
+        src, 2 * H, 2 * W, float(bg["tex_rot_deg"]), float(bg["tex_zoom"]),
+        float(bg["tex_shift"][0]), float(bg["tex_shift"][1]),
+    )
+    # intrinsic = translate(W, H); warp big texture by intr^-1 * motion * intr
+    intr = np.array([[1.0, 0, W], [0, 1, H]])
+    m_total = compose_affine(compose_affine(invert_affine(intr), bg["motion"]), intr)
+    m_inv = invert_affine(m_total)
+    yy, xx = np.mgrid[0 : 2 * H, 0 : 2 * W].astype(np.float64)
+    sx_c = m_inv[0, 0] * xx + m_inv[0, 1] * yy + m_inv[0, 2]
+    sy_c = m_inv[1, 0] * xx + m_inv[1, 1] * yy + m_inv[1, 2]
+    big1 = bilinear(big0, sx_c, sy_c, wrap="reflect")
+    # center crop (cpp:680-681)
+    frame0 = np.round(big0[H // 2 : H // 2 + H, W // 2 : W // 2 + W]).astype(np.float64)
+    frame1 = np.round(big1[H // 2 : H // 2 + H, W // 2 : W // 2 + W]).astype(np.float64)
+
+    # Background flow via getPointFlow's conjugation (cpp:692-712).
+    iyy, ixx = np.mgrid[0:H, 0:W].astype(np.float64)
+    qx = ixx + W / 2.0
+    qy = iyy + H / 2.0
+    px1 = m_total[0, 0] * qx + m_total[0, 1] * qy + m_total[0, 2]
+    py1 = m_total[1, 0] * qx + m_total[1, 1] * qy + m_total[1, 2]
+    flow = np.stack([px1 - qx, py1 - qy], -1)
+
+    # --- Foreground objects, ascending id (cpp:1216-1226) ---
+    K = objs["valid"].shape[0]
+    cyy, cxx = iyy + 0.5, ixx + 0.5
+    for k in range(K):
+        if not objs["valid"][k]:
+            continue
+        motion = objs["motion"][k]
+        tex0 = _center_crop(atlas_np[int(objs["tex_id"][k]) % T], H, W)
+        # masks via component algebra
+        aa0 = np.zeros((H, W))
+        in0 = np.zeros((H, W), bool)
+        aa1 = np.zeros((H, W))
+        in1 = np.zeros((H, W), bool)
+        for c in range(prims["valid"].shape[1]):
+            if not prims["valid"][k, c]:
+                continue
+            intr_c = prims["intrinsic"][k, c]
+            tr1 = compose_affine(intr_c, motion)
+            if prims["is_poly"][k, c]:
+                local = prims["edge_pts"][k, c]
+            else:
+                local = ellipse_polygon(
+                    prims["ell_rx"][k, c], prims["ell_ry"][k, c]
+                )
+            c_aa0, c_in0 = polygon_aa(apply_affine(intr_c, local), cxx, cyy)
+            c_aa1, c_in1 = polygon_aa(apply_affine(tr1, local), cxx, cyy)
+            if prims["additive"][k, c]:
+                aa0 = 1 - (1 - aa0) * (1 - c_aa0)
+                in0 = in0 | c_in0
+                aa1 = 1 - (1 - aa1) * (1 - c_aa1)
+                in1 = in1 | c_in1
+            else:
+                aa0 = aa0 * (1 - c_aa0)
+                in0 = in0 & ~c_in0
+                aa1 = aa1 * (1 - c_aa1)
+                in1 = in1 & ~c_in1
+
+        # frame-1 texture: backward warp of tex0 by the motion (cpp:337-348)
+        minv = invert_affine(motion)
+        tx = minv[0, 0] * ixx + minv[0, 1] * iyy + minv[0, 2]
+        ty = minv[1, 0] * ixx + minv[1, 1] * iyy + minv[1, 2]
+        tex1 = bilinear(tex0, tx, ty, wrap="reflect")
+
+        m0 = aa0 if use_aa else in0.astype(np.float64)
+        m1 = aa1 if use_aa else in1.astype(np.float64)
+        frame0 = np.round(frame0 * (1 - m0[..., None]) + tex0 * m0[..., None])
+        frame1 = np.round(frame1 * (1 - m1[..., None]) + tex1 * m1[..., None])
+
+        # flow where frame-0 mask fully covers (cpp:762-818)
+        ox = motion[0, 0] * ixx + motion[0, 1] * iyy + motion[0, 2] - ixx
+        oy = motion[1, 0] * ixx + motion[1, 1] * iyy + motion[1, 2] - iyy
+        flow[..., 0] = np.where(in0, ox, flow[..., 0])
+        flow[..., 1] = np.where(in0, oy, flow[..., 1])
+
+    return frame0, frame1, flow
+
+
+def _center_crop(src, h, w):
+    sh, sw = src.shape[:2]
+    y0 = (sh - h) // 2
+    x0 = (sw - w) // 2
+    return src[y0 : y0 + h, x0 : x0 + w]
+
+
+def scene_to_numpy(scene):
+    """Convert one Scene pytree (no batch dim) into nested dicts of numpy."""
+    return {
+        "background": {f: np.asarray(getattr(scene.background, f))
+                       for f in scene.background._fields},
+        "objects": {f: np.asarray(getattr(scene.objects, f))
+                    for f in scene.objects._fields},
+        "prims": {f: np.asarray(getattr(scene.prims, f))
+                  for f in scene.prims._fields},
+        "n_objects": int(scene.n_objects),
+    }
