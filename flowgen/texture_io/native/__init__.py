@@ -30,6 +30,18 @@ def _load():
     _TRIED = True
     path = _lib_path()
     if not os.path.exists(path):
+        # Build on first use (g++ is part of the toolchain); stay silent on
+        # failure — the pure-Python decode path takes over.
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(__file__)],
+                capture_output=True, timeout=120, check=False,
+            )
+        except Exception:
+            pass
+    if not os.path.exists(path):
         return None
     try:
         lib = ctypes.CDLL(path)
