@@ -29,7 +29,13 @@ from .config import (
     DataGenConfig,
     ModeSpec,
 )
-from .compose.render import RenderOutput, WarpBank, render_batch, render_sample
+from .compose.render import (
+    RenderOutput,
+    WarpBank,
+    prepare_atlas,
+    render_batch,
+    render_sample,
+)
 from .params.blueprint import Background, Objects, Primitives, Scene
 from .params.sampler import sample_scene, sample_scene_batch
 from .pipeline.generator import Generator, generate_batch, make_generate_fn
@@ -53,5 +59,6 @@ __all__ = [
     "sample_scene_batch",
     "atlas_for_config",
     "load_texture_db",
+    "prepare_atlas",
     "procedural_atlas",
 ]

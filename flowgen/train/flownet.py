@@ -135,10 +135,12 @@ def param_shardings(params, mesh, model_axis: str = "model"):
     """Megatron-style column parallelism: conv kernels shard output channels
     over the model axis, biases likewise; everything else replicated."""
 
+    n = mesh.shape[model_axis]
+
     def spec(path, x):
-        if x.ndim == 4:  # (kh, kw, cin, cout)
+        if x.ndim == 4 and x.shape[3] % n == 0:  # (kh, kw, cin, cout)
             return NamedSharding(mesh, P(None, None, None, model_axis))
-        if x.ndim == 1:
+        if x.ndim == 1 and x.shape[0] % n == 0:
             return NamedSharding(mesh, P(model_axis))
         return NamedSharding(mesh, P())
 
