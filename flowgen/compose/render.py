@@ -49,7 +49,16 @@ from jax import lax
 
 from ..config import DataGenConfig
 from ..ops import affine, raster, texture
+from ..ops.pallas_raster import polygon_coverage_pallas
 from ..params.blueprint import Scene
+
+
+def _pallas_enabled(cfg: DataGenConfig) -> bool:
+    if cfg.use_pallas == "always":
+        return True
+    if cfg.use_pallas == "never":
+        return False
+    return jax.default_backend() != "cpu"
 
 # Static window classes for per-object evaluation: (height, width). ``None``
 # means full frame. Sizes are TPU-layout friendly (sublane x lane multiples).
@@ -177,7 +186,7 @@ def _window_grids(y0, x0, wh, ww):
     return px, py
 
 
-def _frame_coverage(prims, k, motion_k, frame, px, py, n_prims_k):
+def _frame_coverage(prims, k, motion_k, frame, px, py, n_prims_k, use_pallas):
     """Coverage of one object for one frame on an arbitrary pixel grid: mask
     algebra over primitive slots 0..n_prims-1 (MovingObjectComposite::
     renderMasks order, cpp:591-646; simple objects are one additive
@@ -192,9 +201,12 @@ def _frame_coverage(prims, k, motion_k, frame, px, py, n_prims_k):
         tr = intr if frame == 0 else affine.compose(intr, motion_k)
 
         def poly(_):
-            return raster.polygon_coverage(
-                affine.apply(tr, prims.edge_pts[k, c]), px, py
-            )
+            pts = affine.apply(tr, prims.edge_pts[k, c])
+            if use_pallas:
+                return polygon_coverage_pallas(
+                    pts, prims.n_edges[k, c], px, py
+                )
+            return raster.polygon_coverage(pts, px, py)
 
         def ellipse(_):
             return raster.ellipse_coverage(
@@ -224,6 +236,7 @@ def render_sample(
     quad-packed uint8 atlas from :func:`prepare_atlas`."""
     H, W = cfg.height, cfg.width
     SH, SW = atlas.shape[1], atlas.shape[2]
+    use_pallas = _pallas_enabled(cfg)
     has_warp = warp_bank is not None and cfg.mode_spec.warp_p > 0.0
     ix, iy = raster.pixel_grid(W, H, 0.0)      # integer coords (flow/texture)
 
@@ -352,7 +365,8 @@ def render_sample(
                     y0, x0 = _window_origin(lo0[k], hi0[k], wh, ww, H, W)
                 wpx, wpy = _window_grids(y0, x0, wh, ww)
                 aa0, in0 = _frame_coverage(
-                    prims, k, motion_k, 0, wpx + 0.5, wpy + 0.5, n_prims_k
+                    prims, k, motion_k, 0, wpx + 0.5, wpy + 0.5, n_prims_k,
+                    use_pallas,
                 )
                 m0 = aa0 if cfg.use_antialiasing else in0.astype(jnp.float32)
 
@@ -394,7 +408,8 @@ def render_sample(
                     y0, x0 = _window_origin(lo1[k], hi1[k], wh, ww, H, W)
                 wpx, wpy = _window_grids(y0, x0, wh, ww)
                 aa1, in1 = _frame_coverage(
-                    prims, k, motion_k, 1, wpx + 0.5, wpy + 0.5, n_prims_k
+                    prims, k, motion_k, 1, wpx + 0.5, wpy + 0.5, n_prims_k,
+                    use_pallas,
                 )
 
                 sx, sy = affine.apply_xy(motion_inv_k, wpx, wpy)

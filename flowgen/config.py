@@ -283,6 +283,9 @@ class DataGenConfig:
     # Results are identical to full-frame evaluation; disable only to
     # cross-check or debug (see tests/test_render.py).
     windowed: bool = True
+    # Pallas polygon-coverage kernel (edge-count-culled, fused). "auto" uses
+    # it on TPU backends and the pure-XLA path on CPU; "always"/"never" force.
+    use_pallas: str = "auto"
 
     def __post_init__(self):
         if self.mode not in MODES:

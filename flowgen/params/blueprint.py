@@ -58,7 +58,9 @@ class Primitives(NamedTuple):
     intrinsic: jax.Array     # f32[K,C,2,3] per-primitive intrinsic pose R·T
     ell_rx: jax.Array        # f32[K,C]
     ell_ry: jax.Array        # f32[K,C]
-    edge_pts: jax.Array      # f32[K,C,E,2] flattened closed outline, local coords
+    edge_pts: jax.Array      # f32[K,C,E,2] flattened closed outline, local
+                             # coords, compacted (slots >= n_edges repeat pt 0)
+    n_edges: jax.Array       # int32[K,C] true outline point count
 
 
 class Scene(NamedTuple):

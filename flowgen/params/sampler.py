@@ -109,15 +109,20 @@ def _sample_spoke_polygon(key_fn, spec: ModeSpec):
 
 
 def flatten_outline(verts, types, n):
-    """Flatten a (possibly curved) closed spoke outline to ``MAX_EDGES`` points.
+    """Flatten a (possibly curved) closed spoke outline to ``MAX_EDGES``
+    points, compacted.
 
     Replaces AGG's path_storage + conv_curve adaptive flattening
-    (MovingObjectPolygon::renderMasks, cpp:520-534) with a static
-    ``EDGE_SUBDIV`` points per spoke-step: straight segments subdivide
-    losslessly; each half of a quadratic Bezier (control = curve spoke,
-    endpoints = neighbor spokes) gets EDGE_SUBDIV samples, i.e. 12 chords per
-    curve vs AGG's adaptive count. Padding slots repeat vertex 0 (zero-length
+    (MovingObjectPolygon::renderMasks, cpp:520-534): each half of a quadratic
+    Bezier (control = curve spoke, endpoints = neighbor spokes) is sampled at
+    ``EDGE_SUBDIV`` points (12 chords per curve vs AGG's adaptive count);
+    straight segments contribute a single point (their subdivision is
+    geometrically inert, so it is dropped). Points are compacted to the front
+    of the array and the true count returned — rasterization backends can then
+    skip the padding at run time. Padding slots repeat point 0 (zero-length
     edges are inert for winding and distance).
+
+    Returns (points [MAX_EDGES, 2], n_points int32).
     """
     S = MAX_SPOKES
     e = jnp.arange(S)
@@ -140,13 +145,23 @@ def flatten_outline(verts, types, n):
 
     case_cfirst = (ta == SEG_CURVE) & (a != 0)
     case_csecond = (ta == SEG_DUMMY) & (a != 0)
+    is_curve_slot = case_cfirst | case_csecond
     pts = jnp.where(
         case_cfirst[:, None, None],
         first_half,
         jnp.where(case_csecond[:, None, None], second_half, line_pts),
     )
-    pts = jnp.where((e < n)[:, None, None], pts, verts[0])
-    return pts.reshape(MAX_EDGES, 2)
+
+    sub = jnp.arange(EDGE_SUBDIV)[None, :]
+    keep = (e < n)[:, None] & (is_curve_slot[:, None] | (sub == 0))
+    keep = keep.reshape(MAX_EDGES)
+    pts = pts.reshape(MAX_EDGES, 2)
+
+    n_pts = jnp.sum(keep).astype(jnp.int32)
+    order = jnp.argsort(~keep, stable=True)
+    pts = pts[order]
+    pts = jnp.where((jnp.arange(MAX_EDGES) < n_pts)[:, None], pts, pts[0])
+    return pts, n_pts
 
 
 # ---------------------------------------------------------------------------
@@ -166,8 +181,8 @@ def _sample_geometry(key_fn, spec: ModeSpec, kinds):
     rx = uniform(key_fn(Stream.ELLI_SCALE_X), *spec.ellipse_scale_range) * f
     ry = uniform(key_fn(Stream.ELLI_SCALE_Y), *spec.ellipse_scale_range) * f
     verts, types, n = _sample_spoke_polygon(key_fn, spec)
-    edge_pts = flatten_outline(verts, types, n)
-    return kind, rx, ry, edge_pts
+    edge_pts, n_edges = flatten_outline(verts, types, n)
+    return kind, rx, ry, edge_pts, n_edges
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +262,7 @@ def sample_scene(
     def per_object(k):
         ok = lambda s: stream_key(skey, s, k)
 
-        obj_kind, s_rx, s_ry, s_pts = _sample_geometry(ok, spec, spec.obj_types)
+        obj_kind, s_rx, s_ry, s_pts, s_ne = _sample_geometry(ok, spec, spec.obj_types)
         is_comp = obj_kind == KIND_COMPOSITE
 
         # Intrinsic pose and motion (shared by every primitive of the object).
@@ -278,16 +293,16 @@ def sample_scene(
         # --- Component-slot geometry (used when the object is a composite) ---
         def per_component(c):
             ck = lambda s: stream_key(skey, s, k, c)
-            c_kind, c_rx, c_ry, c_pts = _sample_geometry(ck, spec, non_composite)
+            c_kind, c_rx, c_ry, c_pts, c_ne = _sample_geometry(ck, spec, non_composite)
             c_init_rot = uniform(ck(Stream.OBJ_INIT_ROT), *spec.obj_init_rot_range)
             off_x = uniform(ck(Stream.COMP_OFFSET), *spec.component_offset_range)
             off_y = uniform(ck(Stream.COMP_OFFSET + 64), *spec.component_offset_range)
             c_add = shapers.trigger(
                 spec.component_additive_p, uniform(ck(Stream.COMP_IS_ADDITIVE), 0.0, 1.0)
             )
-            return c_kind, c_rx, c_ry, c_pts, c_init_rot, off_x, off_y, c_add
+            return c_kind, c_rx, c_ry, c_pts, c_ne, c_init_rot, off_x, off_y, c_add
 
-        (c_kind, c_rx, c_ry, c_pts, c_init_rot, off_x, off_y, c_add) = jax.vmap(
+        (c_kind, c_rx, c_ry, c_pts, c_ne, c_init_rot, off_x, off_y, c_add) = jax.vmap(
             per_component
         )(jnp.arange(C))
 
@@ -365,17 +380,22 @@ def sample_scene(
             jnp.where(comp_thin, thin_pts, reg_pts),
             jnp.broadcast_to(simple_pts[None], (C,) + simple_pts.shape),
         )
+        # Scaling never changes point counts: component slots inherit their
+        # own counts; the thin "outline" pair reuses component 0's.
+        prim_ne = pick(
+            jnp.broadcast_to(s_ne, (C,)), jnp.broadcast_to(c_ne[0], (C,)), c_ne
+        )
         prim_intrinsic = affine.intrinsic_transform(prim_rot, prim_tx, prim_ty)
 
         return (
             tex_id, motion, warp, warp_slot,
             prim_valid, prim_add, prim_kind == KIND_POLYGON,
-            prim_intrinsic, prim_rx, prim_ry, prim_pts,
+            prim_intrinsic, prim_rx, prim_ry, prim_pts, prim_ne,
         )
 
     (
         tex_id, motion, warp, warp_slot,
-        p_valid, p_add, p_is_poly, p_intr, p_rx, p_ry, p_pts,
+        p_valid, p_add, p_is_poly, p_intr, p_rx, p_ry, p_pts, p_ne,
     ) = jax.vmap(per_object)(ks)
 
     # Fold the conjugated background motion into every object's motion
@@ -399,6 +419,7 @@ def sample_scene(
         ell_rx=p_rx,
         ell_ry=p_ry,
         edge_pts=p_pts,
+        n_edges=p_ne,
     )
     return Scene(background=bg, objects=objects, prims=prims, n_objects=n_objects)
 

@@ -122,22 +122,25 @@ def test_determinism_and_stream_separation():
 
 
 def test_flatten_outline_lines():
-    # A triangle flattens to collinear subdivided runs that close exactly.
+    # A pure-line triangle compacts to exactly its 3 vertices (straight-edge
+    # subdivision points are geometrically inert and dropped).
     verts = jnp.zeros((20, 2)).at[:3].set(
         jnp.array([[0.0, 0.0], [60.0, 0.0], [0.0, 60.0]])
     )
     types = jnp.full((20,), SEG_LINE, jnp.int32).at[0].set(SEG_DUMMY)
-    pts = np.asarray(flatten_outline(verts, types, jnp.int32(3)))
-    # First run: 6 points from (0,0) toward (60,0).
-    np.testing.assert_allclose(pts[:6, 1], 0.0, atol=1e-5)
-    np.testing.assert_allclose(pts[:6, 0], np.arange(6) * 10.0, atol=1e-4)
-    # Padding repeats vertex 0.
-    np.testing.assert_allclose(pts[18:], 0.0, atol=1e-5)
+    pts, n = flatten_outline(verts, types, jnp.int32(3))
+    pts = np.asarray(pts)
+    assert int(n) == 3
+    np.testing.assert_allclose(pts[0], [0.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(pts[1], [60.0, 0.0], atol=1e-5)
+    np.testing.assert_allclose(pts[2], [0.0, 60.0], atol=1e-5)
+    # Padding repeats point 0.
+    np.testing.assert_allclose(pts[3:], 0.0, atol=1e-5)
 
 
 def test_flatten_outline_curve_midpoint():
     # Curve at index 1 (ctrl v1, endpoint v2): Bezier(v0, v1, v2) sampled over
-    # two edge slots; slot 1's first sample is the curve midpoint B(0.5).
+    # two edge slots of 6 points each; the second half starts at B(0.5).
     verts = jnp.zeros((20, 2)).at[:4].set(
         jnp.array([[0.0, 0.0], [30.0, 60.0], [60.0, 0.0], [0.0, -40.0]])
     )
@@ -145,9 +148,16 @@ def test_flatten_outline_curve_midpoint():
         jnp.full((20,), SEG_LINE, jnp.int32)
         .at[0].set(SEG_DUMMY).at[1].set(SEG_CURVE).at[2].set(SEG_DUMMY)
     )
-    pts = np.asarray(flatten_outline(verts, types, jnp.int32(4)))
-    b_half = 0.25 * np.array([0.0, 0.0]) + 0.5 * np.array([30.0, 60.0]) + 0.25 * np.array([60.0, 0.0])
-    np.testing.assert_allclose(pts[6], b_half, atol=1e-4)
-    # Slot 0 starts at v0, slot 2 starts at v2 (curve endpoint).
-    np.testing.assert_allclose(pts[0], [0.0, 0.0], atol=1e-5)
-    np.testing.assert_allclose(pts[12], [60.0, 0.0], atol=1e-4)
+    pts, n = flatten_outline(verts, types, jnp.int32(4))
+    pts = np.asarray(pts)
+    # Layout: 6 first-half + 6 second-half Bezier samples + [v2] + [v3].
+    assert int(n) == 14
+    b_half = (
+        0.25 * np.array([0.0, 0.0])
+        + 0.5 * np.array([30.0, 60.0])
+        + 0.25 * np.array([60.0, 0.0])
+    )
+    np.testing.assert_allclose(pts[0], [0.0, 0.0], atol=1e-5)   # B(0) = v0
+    np.testing.assert_allclose(pts[6], b_half, atol=1e-4)       # B(0.5)
+    np.testing.assert_allclose(pts[12], [60.0, 0.0], atol=1e-4)  # v2 = B(1)
+    np.testing.assert_allclose(pts[13], [0.0, -40.0], atol=1e-4)
