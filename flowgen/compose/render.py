@@ -244,7 +244,9 @@ def render_sample(
     bg = scene.background
 
     # ---- Background (MovingObjectBackground, cpp:654-718) ----
-    src_quad = lax.dynamic_index_in_dim(atlas, bg.tex_id % atlas.shape[0], 0, False)
+    src_quad = lax.optimization_barrier(
+        lax.dynamic_index_in_dim(atlas, bg.tex_id % atlas.shape[0], 0, False)
+    )
     crop_t = texture.randomized_crop_transform(
         SH, SW, 2 * H, 2 * W,
         bg.tex_rot_deg, bg.tex_zoom, bg.tex_shift[0], bg.tex_shift[1],
@@ -344,6 +346,15 @@ def render_sample(
         motion_inv_k = objs.motion_inv[k]
         tex_id = objs.tex_id[k] % atlas.shape[0]
         n_prims_k = n_prims[k]
+        # Slice the object's texture crop OUTSIDE the window branches: cond /
+        # switch branches capture their free variables as operands, and
+        # capturing the whole atlas makes per-object costs scale with the
+        # texture count (observed 3x at 32 textures). The crop is 2.3 MB.
+        tex_crop = lax.optimization_barrier(
+            lax.dynamic_slice(
+                atlas, (tex_id, crop_y0, crop_x0, 0), (1, H, W, 12)
+            )[0]
+        )
 
         if has_warp:
             warping = objs.warp[k]
@@ -371,8 +382,8 @@ def render_sample(
                 m0 = aa0 if cfg.use_antialiasing else in0.astype(jnp.float32)
 
                 tex_w = lax.dynamic_slice(
-                    atlas, (tex_id, crop_y0 + y0, crop_x0 + x0, 0), (1, wh, ww, 3)
-                )[0].astype(jnp.float32)
+                    tex_crop, (y0, x0, 0), (wh, ww, 3)
+                ).astype(jnp.float32)
                 f0_w = lax.dynamic_slice(frame0, (y0, x0, 0), (wh, ww, 3))
                 f0_w = jnp.round(f0_w * (1.0 - m0[..., None]) + tex_w * m0[..., None])
                 frame0 = lax.dynamic_update_slice(frame0, f0_w, (y0, x0, 0))
@@ -436,10 +447,7 @@ def render_sample(
                 # Sample the object texture (the WxH center crop) at the
                 # motion-inverse positions, reflect-wrapped in crop space
                 # (getTransformedTexture, cpp:168-231).
-                tex_quad = lax.dynamic_slice(
-                    atlas, (tex_id, crop_y0, crop_x0, 0), (1, H, W, 12)
-                )[0]
-                tex1_w = texture.sample_bilinear_quad(tex_quad, sx, sy, wrap="reflect")
+                tex1_w = texture.sample_bilinear_quad(tex_crop, sx, sy, wrap="reflect")
 
                 m1 = aa1 if cfg.use_antialiasing else in1.astype(jnp.float32)
                 f1_w = lax.dynamic_slice(frame1, (y0, x0, 0), (wh, ww, 3))

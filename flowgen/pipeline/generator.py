@@ -63,7 +63,10 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None):
     if base_index is None:
         base_index = step * b
     indices = base_index + jnp.arange(b)
-    atlas = prepare_atlas(atlas)  # quad-packed uint8 gather tables
+    # Quad-pack once per step and pin it: without the barrier XLA happily
+    # rematerializes the (large) packed atlas into each of its many gather
+    # consumers, recomputing it per object (3x slowdown at 32 textures).
+    atlas = jax.lax.optimization_barrier(prepare_atlas(atlas))
     warp_bank = None
     n_slots = 1
     if cfg.mode_spec.warp_p > 0.0:
