@@ -277,6 +277,11 @@ class DataGenConfig:
     compute_inverse_flow: bool = False    # RenderCore::computeFlowImage(inverse=true)
     # Warp-field bank sizing (mode 9); see flowgen/warpfields/generator.py.
     warp_fields_per_batch: int = 1
+    # Regenerate the warp-crop bank every N steps (the reference amortizes its
+    # expensive 1536^2 composed fields by reusing each crop 3x across a shared
+    # queue, WarpFields.cpp:516-538; keying the bank by step//N is the
+    # deterministic analog).
+    warp_bank_reuse_steps: int = 4
     max_objects: int = MAX_OBJECTS
     dtype: str = "float32"
     # Per-object windowed evaluation (bbox-culled coverage/blend/gather).

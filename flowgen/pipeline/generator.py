@@ -52,11 +52,13 @@ def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig):
     return out
 
 
-def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None):
+def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
+                   warp_bank=None):
     """One batch: samples ``cfg.batch_size`` scenes at global indices
     ``base_index .. base_index+B-1`` (default ``step*B``) and renders them.
-    Pure; jit with cfg static. ``step`` additionally keys the per-batch
-    warp-field bank (mode 9)."""
+    Pure; jit with cfg static. In mode 9 a precomputed ``warp_bank`` can be
+    passed (see make_generate_fn's epoch caching); otherwise it is derived
+    from ``(root, step // warp_bank_reuse_steps)`` inline."""
     from ..compose.render import prepare_atlas
 
     b = cfg.batch_size
@@ -67,11 +69,13 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None):
     # rematerializes the (large) packed atlas into each of its many gather
     # consumers, recomputing it per object (3x slowdown at 32 textures).
     atlas = jax.lax.optimization_barrier(prepare_atlas(atlas))
-    warp_bank = None
     n_slots = 1
     if cfg.mode_spec.warp_p > 0.0:
         n_slots = warpgen.bank_size(cfg)
-        warp_bank = warpgen.make_warp_bank(root, step, cfg)
+        if warp_bank is None:
+            warp_bank = warpgen.make_warp_bank(root, step, cfg)
+    else:
+        warp_bank = None
     scenes = sample_scene_batch(root, indices, cfg, n_warp_slots=n_slots)
     rendered = render_batch(scenes, atlas, cfg, warp_bank)
     if cfg.compute_inverse_flow:
@@ -86,14 +90,31 @@ def make_generate_fn(cfg: DataGenConfig, mesh=None):
     """Compiled generation step. With a mesh, generation shards over the
     ``data`` axis via shard_map — per-device independent generation, zero
     collectives on the hot path (SURVEY.md §2: the TPU-native replacement for
-    the reference's first-level thread pool)."""
-    if mesh is None:
-        return jax.jit(
-            functools.partial(generate_batch, cfg=cfg), static_argnames=()
-        )
-    from .sharding import make_sharded_generate_fn
+    the reference's first-level thread pool).
 
-    return make_sharded_generate_fn(cfg, mesh)
+    In mode 9 the warp-crop bank is cached host-side and regenerated only
+    every ``cfg.warp_bank_reuse_steps`` steps — the deterministic analog of
+    the reference CropGenerator's crop reuse (WarpFields.cpp:516-538)."""
+    if mesh is not None:
+        from .sharding import make_sharded_generate_fn
+
+        return make_sharded_generate_fn(cfg, mesh)
+
+    gen = jax.jit(functools.partial(generate_batch, cfg=cfg))
+    if cfg.mode_spec.warp_p == 0.0:
+        return gen
+
+    bank_fn = jax.jit(functools.partial(warpgen.make_warp_bank, cfg=cfg))
+    cache = {}
+
+    def fn(root, step, atlas):
+        epoch = int(step) // max(cfg.warp_bank_reuse_steps, 1)
+        if cache.get("epoch") != epoch:
+            cache["bank"] = bank_fn(root, jnp.int32(step))
+            cache["epoch"] = epoch
+        return gen(root, jnp.int32(step), atlas, warp_bank=cache["bank"])
+
+    return fn
 
 
 class Generator:

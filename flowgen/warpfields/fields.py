@@ -184,7 +184,11 @@ def self_compose(field, iters: int = COMPOSE_ITERS):
         ty = py + f[..., 1]
         oob = (tx < 0) | (tx >= s) | (ty < 0) | (ty >= s)
         flagged = flagged | oob
-        lut = texture.sample_bilinear(f, tx, ty, wrap="clamp")
+        # Quad-packed lookup: one gather per tap set instead of four. The quad
+        # table is rebuilt each iteration (cheap shifts) while the gather over
+        # s^2 points dominates — 4x fewer gather rows per composition step.
+        quad = texture.make_quad(f)
+        lut = texture.sample_bilinear_quad(quad, tx, ty, wrap="clamp", channels=2)
         f = jnp.where(oob[..., None], f, f + lut)
         return f, flagged
 

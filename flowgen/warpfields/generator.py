@@ -49,8 +49,10 @@ def make_warp_bank(root, step, cfg: DataGenConfig) -> WarpBank:
     big = big_field_size(W, H)
     origins = crop_origins(W, H)
 
+    bank_epoch = step // max(cfg.warp_bank_reuse_steps, 1)
+
     def one_field(i):
-        key = stream_key(jax.random.fold_in(root, step), Stream.WARP_FIELD, i)
+        key = stream_key(jax.random.fold_in(root, bank_epoch), Stream.WARP_FIELD, i)
         flow, iflow = fields.make_big_field(key, big)
         crops_f = jnp.stack([flow[y : y + H, x : x + W] for (x, y) in origins])
         crops_i = jnp.stack([iflow[y : y + H, x : x + W] for (x, y) in origins])
