@@ -113,6 +113,18 @@ def test_inverse_flow_output():
     assert close.mean() > 0.5
 
 
+@pytest.mark.parametrize("mode", [1, 7])
+def test_windowed_equals_fullframe(mode):
+    # Bbox-windowed evaluation must be bit-identical to full-frame evaluation
+    # (the window provably contains every pixel the object can touch).
+    cfg = flowgen.DataGenConfig(mode=mode, batch_size=2, width=256, height=192)
+    a = _gen(cfg, seed=4)
+    b_cfg = dataclasses.replace(cfg, windowed=False)
+    b = _gen(b_cfg, seed=4)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_determinism_same_step():
     cfg = flowgen.DataGenConfig(mode=7, batch_size=1, width=W, height=H, seed=5)
     a = _gen(cfg, step=3, seed=5)
