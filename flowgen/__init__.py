@@ -28,6 +28,7 @@ from .config import (
     MODES,
     DataGenConfig,
     ModeSpec,
+    register_mode,
 )
 from .compose.render import (
     RenderOutput,
@@ -47,6 +48,7 @@ __all__ = [
     "DataGenConfig",
     "ModeSpec",
     "MODES",
+    "register_mode",
     "Generator",
     "Scene",
     "RenderOutput",

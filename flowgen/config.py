@@ -252,6 +252,20 @@ MODES = {
 }
 
 
+def register_mode(spec: ModeSpec) -> int:
+    """Register a custom scene recipe under ``spec.mode``.
+
+    The reference's extension story was "add a case to the 13-way switch and
+    recompile" (README.md:42, DataGenerator.cpp:1363); here a mode is plain
+    data — construct a :class:`ModeSpec` (``dataclasses.replace`` of an
+    existing one is the easiest start) and register it. Returns the mode id.
+    """
+    if spec.mode in MODES:
+        raise ValueError(f"mode {spec.mode} already registered")
+    MODES[spec.mode] = spec
+    return spec.mode
+
+
 @dataclasses.dataclass(frozen=True)
 class DataGenConfig:
     """Run configuration — TPU-native replacement for ``DataGenerationParameter``

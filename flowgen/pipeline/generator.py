@@ -142,6 +142,9 @@ class Generator:
         self._fn = make_generate_fn(cfg, mesh)
         self._step = start_step
         self._as_numpy = as_numpy
+        from ..utils.profiling import ThroughputMeter
+
+        self.meter = ThroughputMeter()
         self._running = False
         self._paused = threading.Event()
         self._paused.set()  # not paused
@@ -204,6 +207,7 @@ class Generator:
         self._pump()
         if self._as_numpy:
             out = {k: np.asarray(v) for k, v in out.items()}
+        self.meter.tick(self.cfg.batch_size)
         return out
 
     def has_retrievable_batches(self) -> bool:
