@@ -14,8 +14,6 @@ happens once at placement, never per step).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -37,7 +35,6 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
     import dataclasses
 
     local_cfg = dataclasses.replace(cfg, batch_size=cfg.batch_size // n)
-    other_axes = tuple(a for a in mesh.axis_names if a != axis)
 
     def local_step(root, step, atlas):
         # Device ``di`` renders global sample indices

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
-import jax
-
 
 def save_checkpoint(path: str, step: int, params, opt_state) -> None:
     import orbax.checkpoint as ocp
