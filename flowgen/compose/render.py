@@ -49,7 +49,7 @@ from jax import lax
 
 from ..config import DataGenConfig
 from ..ops import affine, raster, texture
-from ..ops.pallas_raster import polygon_coverage_pallas
+from ..ops.pallas_raster import object_window_pallas, polygon_coverage_pallas
 from ..params.blueprint import Scene
 
 
@@ -184,6 +184,38 @@ def _window_grids(y0, x0, wh, ww):
     xs = x0.astype(jnp.float32) + jnp.arange(ww, dtype=jnp.float32)
     py, px = jnp.meshgrid(ys, xs, indexing="ij")
     return px, py
+
+
+def _object_kernel_inputs(prims, k, motion_k, flow_motion, frame, n_prims_k, x0, y0):
+    """Pack one object's primitives into the fused kernel's SMEM operands
+    (see ops/pallas_raster.object_window_pallas)."""
+    intr = prims.intrinsic[k]                          # [C,2,3]
+    tr = intr if frame == 0 else affine.compose(intr, motion_k)
+    pts = affine.apply(tr, prims.edge_pts[k])          # [C,E,2]
+    b = jnp.roll(pts, -1, axis=1)
+    C, E = pts.shape[0], pts.shape[1]
+    edges = jnp.stack(
+        [pts[..., 0], pts[..., 1], b[..., 0], b[..., 1]], axis=0
+    ).reshape(4, C * E)
+    meta = jnp.concatenate(
+        [
+            jnp.stack([n_prims_k, x0, y0]).astype(jnp.int32),
+            prims.additive[k].astype(jnp.int32),
+            prims.is_poly[k].astype(jnp.int32),
+            prims.n_edges[k].astype(jnp.int32),
+        ]
+    )
+    inv = affine.invert(tr)                            # [C,2,3]
+    ell = jnp.concatenate(
+        [
+            inv.reshape(C, 6),
+            prims.ell_rx[k][:, None],
+            prims.ell_ry[k][:, None],
+        ],
+        axis=1,
+    ).reshape(C * 8)
+    fmeta = jnp.concatenate([flow_motion.reshape(6), ell])
+    return edges, meta, fmeta
 
 
 def _frame_coverage(prims, k, motion_k, frame, px, py, n_prims_k, use_pallas):
@@ -374,32 +406,53 @@ def render_sample(
                     x0 = jnp.int32(0)
                 else:
                     y0, x0 = _window_origin(lo0[k], hi0[k], wh, ww, H, W)
-                wpx, wpy = _window_grids(y0, x0, wh, ww)
-                aa0, in0 = _frame_coverage(
-                    prims, k, motion_k, 0, wpx + 0.5, wpy + 0.5, n_prims_k,
-                    use_pallas,
-                )
-                m0 = aa0 if cfg.use_antialiasing else in0.astype(jnp.float32)
 
                 tex_w = lax.dynamic_slice(
                     tex_crop, (y0, x0, 0), (wh, ww, 3)
                 ).astype(jnp.float32)
                 f0_w = lax.dynamic_slice(frame0, (y0, x0, 0), (wh, ww, 3))
-                f0_w = jnp.round(f0_w * (1.0 - m0[..., None]) + tex_w * m0[..., None])
-                frame0 = lax.dynamic_update_slice(frame0, f0_w, (y0, x0, 0))
-
-                # Flow at integer coords (computeFlowImage, cpp:807-817).
-                mvx, mvy = affine.apply_xy(motion_k, wpx, wpy)
-                ofx, ofy = mvx - wpx, mvy - wpy
-                if has_warp:
-                    wfx, wfy = _bilinear_flow_at(wf, mvx, mvy)
-                    inb = (mvx >= 0) & (mvx < W) & (mvy >= 0) & (mvy < H) & warping
-                    ofx = ofx + jnp.where(inb, wfx, 0.0)
-                    ofy = ofy + jnp.where(inb, wfy, 0.0)
                 fx_w = lax.dynamic_slice(flow_x, (y0, x0), (wh, ww))
                 fy_w = lax.dynamic_slice(flow_y, (y0, x0), (wh, ww))
-                fx_w = jnp.where(in0, ofx, fx_w)
-                fy_w = jnp.where(in0, ofy, fy_w)
+
+                if use_pallas and not has_warp:
+                    # Entire window pass (multi-primitive coverage, mask
+                    # algebra, blend, flow overwrite) in one fused kernel.
+                    edges, meta, fmeta = _object_kernel_inputs(
+                        prims, k, motion_k, motion_k, 0, n_prims_k, x0, y0
+                    )
+                    f0_w, fl_w = object_window_pallas(
+                        edges, meta, fmeta, tex_w, f0_w,
+                        jnp.stack([fx_w, fy_w], -1),
+                        use_aa=cfg.use_antialiasing, emit_flow=True,
+                    )
+                    fx_w = fl_w[..., 0]
+                    fy_w = fl_w[..., 1]
+                else:
+                    wpx, wpy = _window_grids(y0, x0, wh, ww)
+                    aa0, in0 = _frame_coverage(
+                        prims, k, motion_k, 0, wpx + 0.5, wpy + 0.5, n_prims_k,
+                        use_pallas,
+                    )
+                    m0 = aa0 if cfg.use_antialiasing else in0.astype(jnp.float32)
+                    f0_w = jnp.round(
+                        f0_w * (1.0 - m0[..., None]) + tex_w * m0[..., None]
+                    )
+
+                    # Flow at integer coords (computeFlowImage, cpp:807-817).
+                    mvx, mvy = affine.apply_xy(motion_k, wpx, wpy)
+                    ofx, ofy = mvx - wpx, mvy - wpy
+                    if has_warp:
+                        wfx, wfy = _bilinear_flow_at(wf, mvx, mvy)
+                        inb = (
+                            (mvx >= 0) & (mvx < W) & (mvy >= 0) & (mvy < H)
+                            & warping
+                        )
+                        ofx = ofx + jnp.where(inb, wfx, 0.0)
+                        ofy = ofy + jnp.where(inb, wfy, 0.0)
+                    fx_w = jnp.where(in0, ofx, fx_w)
+                    fy_w = jnp.where(in0, ofy, fy_w)
+
+                frame0 = lax.dynamic_update_slice(frame0, f0_w, (y0, x0, 0))
                 flow_x = lax.dynamic_update_slice(flow_x, fx_w, (y0, x0))
                 flow_y = lax.dynamic_update_slice(flow_y, fy_w, (y0, x0))
                 return frame0, flow_x, flow_y
@@ -418,6 +471,37 @@ def render_sample(
                 else:
                     y0, x0 = _window_origin(lo1[k], hi1[k], wh, ww, H, W)
                 wpx, wpy = _window_grids(y0, x0, wh, ww)
+
+                if use_pallas and not has_warp:
+                    # Texture gather stays in XLA (gathers are not expressible
+                    # in the kernel); coverage + algebra + blend (+ inverse
+                    # flow) fuse into one kernel call.
+                    sx, sy = affine.apply_xy(motion_inv_k, wpx, wpy)
+                    tex1_w = texture.sample_bilinear_quad(
+                        tex_crop, sx, sy, wrap="reflect"
+                    )
+                    f1_w = lax.dynamic_slice(frame1, (y0, x0, 0), (wh, ww, 3))
+                    ifx_w = lax.dynamic_slice(iflow_x, (y0, x0), (wh, ww))
+                    ify_w = lax.dynamic_slice(iflow_y, (y0, x0), (wh, ww))
+                    edges, meta, fmeta = _object_kernel_inputs(
+                        prims, k, motion_k, motion_inv_k, 1, n_prims_k, x0, y0
+                    )
+                    f1_w, ifl_w = object_window_pallas(
+                        edges, meta, fmeta, tex1_w, f1_w,
+                        jnp.stack([ifx_w, ify_w], -1),
+                        use_aa=cfg.use_antialiasing,
+                        emit_flow=cfg.compute_inverse_flow,
+                    )
+                    frame1 = lax.dynamic_update_slice(frame1, f1_w, (y0, x0, 0))
+                    if cfg.compute_inverse_flow:
+                        iflow_x = lax.dynamic_update_slice(
+                            iflow_x, ifl_w[..., 0], (y0, x0)
+                        )
+                        iflow_y = lax.dynamic_update_slice(
+                            iflow_y, ifl_w[..., 1], (y0, x0)
+                        )
+                    return frame1, iflow_x, iflow_y
+
                 aa1, in1 = _frame_coverage(
                     prims, k, motion_k, 1, wpx + 0.5, wpy + 0.5, n_prims_k,
                     use_pallas,

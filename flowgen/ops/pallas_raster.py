@@ -84,6 +84,237 @@ def _kernel(edges_ref, n_ref, px_ref, py_ref, aa_ref, in_ref, wn_ref, d2_ref, v2
     in_ref[:] = inside.astype(jnp.float32)
 
 
+def _coverage_accumulate(
+    edges_ref, base, n_edges, px, py, wn_ref, d2_ref, v2_ref, max_edges=128
+):
+    """Shared per-primitive polygon scan: winding + segment/vertex distances
+    over edge slots [base, base + n_edges)."""
+
+    def edge(e, _):
+        if True:
+            ax = edges_ref[0, base + e]
+            ay = edges_ref[1, base + e]
+            bx = edges_ref[2, base + e]
+            by = edges_ref[3, base + e]
+            dx = bx - ax
+            dy = by - ay
+            len2 = dx * dx + dy * dy
+
+            rx = px - ax
+            ry = py - ay
+            v2_ref[:] = jnp.minimum(v2_ref[:], rx * rx + ry * ry)
+
+            @pl.when(len2 > 1e-12)
+            def _():
+                inv_len2 = 1.0 / len2
+                cross = dx * ry - dy * rx
+                up = (ay <= py) & (by > py) & (cross > 0)
+                down = (by <= py) & (ay > py) & (cross < 0)
+                wn_ref[:] = wn_ref[:] + up.astype(jnp.int32) - down.astype(jnp.int32)
+                t = (dx * rx + dy * ry) * inv_len2
+                perp2 = cross * cross * inv_len2
+                seg_ok = (t >= 0.0) & (t <= 1.0)
+                d2_ref[:] = jnp.minimum(d2_ref[:], jnp.where(seg_ok, perp2, _INF))
+
+        return 0
+
+    # Dynamic trip count: culls padding AND avoids Mosaic unrolling a
+    # static-bound loop into register-spill blowups.
+    lax.fori_loop(0, n_edges, edge, 0)
+
+
+def _make_object_window_kernel(wh, ww, use_aa, emit_flow, max_comps, max_edges):
+    """Kernel factory: full per-object window pass for one frame.
+
+    Loops the object's primitives (polygon scan or analytic ellipse),
+    accumulates the composite screen algebra, then alpha-blends the texture
+    window and (optionally) overwrites flow where the binary mask fully covers
+    — i.e. everything the renderer's f0/f1 branches did with ~10 XLA ops,
+    fused into one Mosaic kernel."""
+
+    def kernel(
+        meta_ref,      # SMEM i32: [n_prims, x0, y0, additive*C, is_poly*C, n_edges*C]
+        fmeta_ref,     # SMEM f32: [motion(6), ell params C*8: inv(6), rx, ry]
+        edges_ref,     # SMEM f32 (4, C*E): per-prim screen-space edge endpoints
+        tex_ref,       # VMEM (3, wh, ww) — channels-first: a minor dim of 3
+                       # would be lane-padded 3->128 (42x VMEM inflation)
+        frame_ref,     # VMEM (3, wh, ww)
+        flow_ref,      # VMEM (2, wh, ww) (ignored when not emit_flow)
+        frame_out,
+        flow_out,
+        acc_aa, acc_in, wn_ref, d2_ref, v2_ref,
+    ):
+        n_prims = meta_ref[0]
+        x0 = meta_ref[1]
+        y0 = meta_ref[2]
+        px = (
+            jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 1).astype(jnp.float32)
+            + x0.astype(jnp.float32)
+        )
+        py = (
+            jax.lax.broadcasted_iota(jnp.int32, (wh, ww), 0).astype(jnp.float32)
+            + y0.astype(jnp.float32)
+        )
+        cx = px + 0.5  # coverage at pixel centers
+        cy = py + 0.5
+
+        acc_aa[:] = jnp.zeros_like(acc_aa)
+        acc_in[:] = jnp.zeros_like(acc_in)
+
+        def comp(c, _):
+            # Dynamic trip count (no pl.when guard): static-bound loops get
+            # unrolled by Mosaic into register-spill blowups.
+            if True:
+                is_poly = meta_ref[3 + max_comps + c] != 0
+
+                wn_ref[:] = jnp.zeros_like(wn_ref)
+                d2_ref[:] = jnp.full_like(d2_ref, _INF)
+                v2_ref[:] = jnp.full_like(v2_ref, _INF)
+
+                @pl.when(is_poly)
+                def _():
+                    _coverage_accumulate(
+                        edges_ref, c * max_edges, meta_ref[3 + 2 * max_comps + c],
+                        cx, cy, wn_ref, d2_ref, v2_ref, max_edges=max_edges,
+                    )
+
+                @pl.when(is_poly)
+                def _():
+                    inside = wn_ref[:] != 0
+                    dist = jnp.sqrt(jnp.minimum(d2_ref[:], v2_ref[:]))
+                    sdf = jnp.where(inside, -dist, dist)
+                    d2_ref[:] = jnp.clip(0.5 - sdf, 0.0, 1.0)  # reuse as aa
+                    wn_ref[:] = inside.astype(jnp.int32)
+
+                @pl.when(jnp.logical_not(is_poly))
+                def _():
+                    base = 6 + c * 8
+                    i00 = fmeta_ref[base + 0]
+                    i01 = fmeta_ref[base + 1]
+                    i02 = fmeta_ref[base + 2]
+                    i10 = fmeta_ref[base + 3]
+                    i11 = fmeta_ref[base + 4]
+                    i12 = fmeta_ref[base + 5]
+                    rx_e = fmeta_ref[base + 6]
+                    ry_e = fmeta_ref[base + 7]
+                    ux = (i00 * cx + i01 * cy + i02) / rx_e
+                    uy = (i10 * cx + i11 * cy + i12) / ry_e
+                    r = jnp.sqrt(ux * ux + uy * uy)
+                    inside = r <= 1.0
+                    safe_r = jnp.maximum(r, 1e-6)
+                    gx = (i00 / rx_e) * (ux / safe_r) + (i10 / ry_e) * (uy / safe_r)
+                    gy = (i01 / rx_e) * (ux / safe_r) + (i11 / ry_e) * (uy / safe_r)
+                    gnorm = jnp.sqrt(gx * gx + gy * gy)
+                    sdf = (r - 1.0) / jnp.maximum(gnorm, 1e-9)
+                    d2_ref[:] = jnp.clip(0.5 - sdf, 0.0, 1.0)
+                    wn_ref[:] = inside.astype(jnp.int32)
+
+                # Ordered composite screen algebra (cpp:591-646). Keep the
+                # binary accumulator in i32 — Mosaic cannot select i1 vectors.
+                additive = meta_ref[3 + c] != 0
+                aa = d2_ref[:]
+                ins = wn_ref[:]  # 0/1 int32
+                a_aa = 1.0 - (1.0 - acc_aa[:]) * (1.0 - aa)
+                a_in = jnp.maximum(acc_in[:], ins)
+                s_aa = acc_aa[:] * (1.0 - aa)
+                s_in = acc_in[:] * (1 - ins)
+                acc_aa[:] = jnp.where(additive, a_aa, s_aa)
+                acc_in[:] = jnp.where(additive, a_in, s_in)
+
+            return 0
+
+        lax.fori_loop(0, n_prims, comp, 0)
+
+        inside = acc_in[:] != 0
+        m = (acc_aa[:] if use_aa else inside.astype(jnp.float32))[None]
+        frame_out[:] = jnp.round(
+            frame_ref[:] * (1.0 - m) + tex_ref[:] * m
+        )
+
+        if emit_flow:
+            # Flow at integer coords (computeFlowImage, cpp:807-817): affine
+            # displacement of the object's motion where fully covered.
+            m00 = fmeta_ref[0]
+            m01 = fmeta_ref[1]
+            m02 = fmeta_ref[2]
+            m10 = fmeta_ref[3]
+            m11 = fmeta_ref[4]
+            m12 = fmeta_ref[5]
+            ofx = m00 * px + m01 * py + m02 - px
+            ofy = m10 * px + m11 * py + m12 - py
+            # Mosaic can't select i1 vectors; use a {0,1} float mask (exact
+            # for these values).
+            mi = inside.astype(jnp.float32)[None]
+            flow_out[:] = jnp.stack([ofx, ofy], 0) * mi + flow_ref[:] * (1.0 - mi)
+        else:
+            flow_out[:] = flow_ref[:]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("use_aa", "emit_flow", "interpret")
+)
+def object_window_pallas(
+    edges, meta, fmeta, tex_w, frame_w, flow_w,
+    *, use_aa=True, emit_flow=True, interpret=False,
+):
+    """Fused per-object window pass. Shapes:
+      edges (4, C*E) f32 screen-space endpoints per primitive slot;
+      meta (3 + 3C,) i32: [n_prims, x0, y0, additive[C], is_poly[C], n_edges[C]];
+      fmeta (6 + 8C,) f32: [motion 2x3 row-major, per-prim (ellipse inverse
+        transform 2x3 row-major, rx, ry)];
+      tex_w/frame_w (wh, ww, 3), flow_w (wh, ww, 2).
+    Returns (blended frame_w, updated flow_w)."""
+    wh, ww = frame_w.shape[0], frame_w.shape[1]
+    C = (meta.shape[0] - 3) // 3
+    E = edges.shape[1] // C
+    kernel = _make_object_window_kernel(wh, ww, use_aa, emit_flow, C, E)
+    # Channels-first inside the kernel (minor dims of 2/3 would be lane-padded
+    # to 128 in VMEM).
+    tex_w = jnp.moveaxis(tex_w, -1, 0)
+    frame_w = jnp.moveaxis(frame_w, -1, 0)
+    flow_w = jnp.moveaxis(flow_w, -1, 0)
+    shape3 = jax.ShapeDtypeStruct((3, wh, ww), jnp.float32)
+    shape2 = jax.ShapeDtypeStruct((2, wh, ww), jnp.float32)
+    scr = (wh, ww)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=(shape3, shape2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(scr, jnp.float32),
+            pltpu.VMEM(scr, jnp.int32),
+            pltpu.VMEM(scr, jnp.int32),
+            pltpu.VMEM(scr, jnp.float32),
+            pltpu.VMEM(scr, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            # The nested primitive/edge loops carry several window-sized
+            # temporaries; leave Mosaic generous stack headroom.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(meta, fmeta, edges, tex_w, frame_w, flow_w)
+    return _channels_last(out)
+
+
+def _channels_last(pair):
+    f, fl = pair
+    return jnp.moveaxis(f, 0, -1), jnp.moveaxis(fl, 0, -1)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def polygon_coverage_pallas(edge_pts, n_edges, px, py, interpret=False):
     """Coverage of a closed (compacted) polyline against a pixel grid.

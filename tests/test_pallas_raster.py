@@ -44,6 +44,79 @@ def test_star_with_padding_culled():
     _compare(jnp.asarray(padded), 9)
 
 
+def test_object_window_kernel_matches_composition():
+    # The fused per-object kernel (coverage + mask algebra + blend + flow)
+    # must reproduce the op-by-op composition used by the XLA path.
+    from flowgen.ops.pallas_raster import object_window_pallas
+
+    wh, ww = 32, 128
+    C, E = 3, 16
+    rng = np.random.default_rng(0)
+
+    # prim 0: additive polygon (a box); prim 1: subtractive ellipse
+    box = np.array([[20.0, 5.0], [90.0, 5.0], [90.0, 28.0], [20.0, 28.0]])
+    pts = np.tile(box[:1][None], (C, E, 1)).astype(np.float32)
+    pts[0, :4] = box
+    n_edges = np.array([4, 0, 0], np.int32)
+    additive = np.array([1, 0, 0], np.int32)
+    is_poly = np.array([1, 0, 0], np.int32)
+    n_prims = 2
+
+    # ellipse prim 1: centered at (55, 16), radii (20, 8); inverse transform
+    # of a pure translation
+    inv = np.zeros((C, 6), np.float32)
+    inv[:, 0] = 1.0
+    inv[:, 4] = 1.0
+    inv[1, 2] = -55.0
+    inv[1, 5] = -16.0
+    rx = np.array([1.0, 20.0, 1.0], np.float32)
+    ry = np.array([1.0, 8.0, 1.0], np.float32)
+
+    motion = np.array([1.0, 0.0, 7.0, 0.0, 1.0, -3.0], np.float32)  # translate
+    b = np.roll(pts, -1, axis=1)
+    edges = np.stack(
+        [pts[..., 0], pts[..., 1], b[..., 0], b[..., 1]], 0
+    ).reshape(4, C * E)
+    meta = np.concatenate([[n_prims, 0, 0], additive, is_poly, n_edges]).astype(
+        np.int32
+    )
+    fmeta = np.concatenate(
+        [motion, np.concatenate([inv, rx[:, None], ry[:, None]], 1).reshape(-1)]
+    ).astype(np.float32)
+
+    tex = rng.uniform(0, 255, (wh, ww, 3)).astype(np.float32)
+    frame = rng.uniform(0, 255, (wh, ww, 3)).astype(np.float32)
+    flow = rng.normal(0, 2, (wh, ww, 2)).astype(np.float32)
+
+    f_out, fl_out = object_window_pallas(
+        jnp.asarray(edges), jnp.asarray(meta), jnp.asarray(fmeta),
+        jnp.asarray(tex), jnp.asarray(frame), jnp.asarray(flow),
+        use_aa=True, emit_flow=True, interpret=True,
+    )
+
+    # Reference composition with the XLA ops.
+    px, py = raster.pixel_grid(ww, wh)
+    aa0, in0 = raster.polygon_coverage(jnp.asarray(pts[0]), px, py)
+    tr = jnp.array([[1.0, 0, 55.0], [0, 1, 16.0]])
+    aa1, in1 = raster.ellipse_coverage(tr, 20.0, 8.0, px, py)
+    acc_aa, acc_in = raster.combine_additive(
+        jnp.zeros((wh, ww)), jnp.zeros((wh, ww), bool), aa0, in0
+    )
+    acc_aa, acc_in = raster.combine_subtractive(acc_aa, acc_in, aa1, in1)
+    ref_frame = np.round(
+        frame * (1 - np.asarray(acc_aa)[..., None])
+        + tex * np.asarray(acc_aa)[..., None]
+    )
+    ix, iy = raster.pixel_grid(ww, wh, 0.0)
+    of = np.stack([np.full((wh, ww), 7.0), np.full((wh, ww), -3.0)], -1)
+    ref_flow = np.where(np.asarray(acc_in)[..., None], of, flow)
+
+    np.testing.assert_array_equal(np.asarray(fl_out), ref_flow)
+    np.testing.assert_allclose(np.asarray(f_out), ref_frame, atol=1.0)
+    # bulk of pixels exact
+    assert (np.abs(np.asarray(f_out) - ref_frame) > 0).mean() < 0.01
+
+
 def test_full_slots():
     rng = np.random.default_rng(2)
     ang = np.sort(rng.uniform(0, 2 * np.pi, 16))
