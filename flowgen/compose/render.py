@@ -414,9 +414,10 @@ def render_sample(
                 fx_w = lax.dynamic_slice(flow_x, (y0, x0), (wh, ww))
                 fy_w = lax.dynamic_slice(flow_y, (y0, x0), (wh, ww))
 
-                if use_pallas and not has_warp:
+                def fused(args):
                     # Entire window pass (multi-primitive coverage, mask
                     # algebra, blend, flow overwrite) in one fused kernel.
+                    f0_w, fx_w, fy_w = args
                     edges, meta, fmeta = _object_kernel_inputs(
                         prims, k, motion_k, motion_k, 0, n_prims_k, x0, y0
                     )
@@ -425,9 +426,10 @@ def render_sample(
                         jnp.stack([fx_w, fy_w], -1),
                         use_aa=cfg.use_antialiasing, emit_flow=True,
                     )
-                    fx_w = fl_w[..., 0]
-                    fy_w = fl_w[..., 1]
-                else:
+                    return f0_w, fl_w[..., 0], fl_w[..., 1]
+
+                def composed(args):
+                    f0_w, fx_w, fy_w = args
                     wpx, wpy = _window_grids(y0, x0, wh, ww)
                     aa0, in0 = _frame_coverage(
                         prims, k, motion_k, 0, wpx + 0.5, wpy + 0.5, n_prims_k,
@@ -451,6 +453,17 @@ def render_sample(
                         ofy = ofy + jnp.where(inb, wfy, 0.0)
                     fx_w = jnp.where(in0, ofx, fx_w)
                     fy_w = jnp.where(in0, ofy, fy_w)
+                    return f0_w, fx_w, fy_w
+
+                args = (f0_w, fx_w, fy_w)
+                if use_pallas and not has_warp:
+                    f0_w, fx_w, fy_w = fused(args)
+                elif use_pallas and has_warp:
+                    # Only actually-deforming objects take the warp path
+                    # (~warp_p of them); the rest use the fused kernel.
+                    f0_w, fx_w, fy_w = lax.cond(warping, composed, fused, args)
+                else:
+                    f0_w, fx_w, fy_w = composed(args)
 
                 frame0 = lax.dynamic_update_slice(frame0, f0_w, (y0, x0, 0))
                 flow_x = lax.dynamic_update_slice(flow_x, fx_w, (y0, x0))
@@ -470,19 +483,21 @@ def render_sample(
                     x0 = jnp.int32(0)
                 else:
                     y0, x0 = _window_origin(lo1[k], hi1[k], wh, ww, H, W)
-                wpx, wpy = _window_grids(y0, x0, wh, ww)
 
-                if use_pallas and not has_warp:
+                f1_w = lax.dynamic_slice(frame1, (y0, x0, 0), (wh, ww, 3))
+                ifx_w = lax.dynamic_slice(iflow_x, (y0, x0), (wh, ww))
+                ify_w = lax.dynamic_slice(iflow_y, (y0, x0), (wh, ww))
+
+                def fused(args):
                     # Texture gather stays in XLA (gathers are not expressible
                     # in the kernel); coverage + algebra + blend (+ inverse
                     # flow) fuse into one kernel call.
+                    f1_w, ifx_w, ify_w = args
+                    wpx, wpy = _window_grids(y0, x0, wh, ww)
                     sx, sy = affine.apply_xy(motion_inv_k, wpx, wpy)
                     tex1_w = texture.sample_bilinear_quad(
                         tex_crop, sx, sy, wrap="reflect"
                     )
-                    f1_w = lax.dynamic_slice(frame1, (y0, x0, 0), (wh, ww, 3))
-                    ifx_w = lax.dynamic_slice(iflow_x, (y0, x0), (wh, ww))
-                    ify_w = lax.dynamic_slice(iflow_y, (y0, x0), (wh, ww))
                     edges, meta, fmeta = _object_kernel_inputs(
                         prims, k, motion_k, motion_inv_k, 1, n_prims_k, x0, y0
                     )
@@ -492,58 +507,69 @@ def render_sample(
                         use_aa=cfg.use_antialiasing,
                         emit_flow=cfg.compute_inverse_flow,
                     )
-                    frame1 = lax.dynamic_update_slice(frame1, f1_w, (y0, x0, 0))
                     if cfg.compute_inverse_flow:
-                        iflow_x = lax.dynamic_update_slice(
-                            iflow_x, ifl_w[..., 0], (y0, x0)
-                        )
-                        iflow_y = lax.dynamic_update_slice(
-                            iflow_y, ifl_w[..., 1], (y0, x0)
-                        )
-                    return frame1, iflow_x, iflow_y
+                        return f1_w, ifl_w[..., 0], ifl_w[..., 1]
+                    return f1_w, ifx_w, ify_w
 
-                aa1, in1 = _frame_coverage(
-                    prims, k, motion_k, 1, wpx + 0.5, wpy + 0.5, n_prims_k,
-                    use_pallas,
-                )
-
-                sx, sy = affine.apply_xy(motion_inv_k, wpx, wpy)
-                if has_warp:
-                    # Frame-1 masks and texture warped by the inverse field
-                    # (renderTransformedTexture cpp:341-346, renderMasks
-                    # cpp:370-386). Mask warp is sampled within the window.
-                    idx, idy = _bilinear_flow_at(wi, wpx, wpy)
-                    wsx, wsy = affine.apply_xy(motion_inv_k, wpx + idx, wpy + idy)
-                    sx = jnp.where(warping, wsx, sx)
-                    sy = jnp.where(warping, wsy, sy)
-                    cov = jnp.stack([aa1, in1.astype(jnp.float32)], -1)
-                    cov_w = texture.sample_bilinear(
-                        cov,
-                        wpx + idx - x0.astype(jnp.float32),
-                        wpy + idy - y0.astype(jnp.float32),
-                        wrap="zero",
-                    )
-                    aa1 = jnp.where(warping, cov_w[..., 0], aa1)
-                    in1 = jnp.where(
-                        warping, _warp_binary_threshold(cov_w[..., 1]), in1
+                def composed(args):
+                    f1_w, ifx_w, ify_w = args
+                    wpx, wpy = _window_grids(y0, x0, wh, ww)
+                    aa1, in1 = _frame_coverage(
+                        prims, k, motion_k, 1, wpx + 0.5, wpy + 0.5, n_prims_k,
+                        use_pallas,
                     )
 
-                # Sample the object texture (the WxH center crop) at the
-                # motion-inverse positions, reflect-wrapped in crop space
-                # (getTransformedTexture, cpp:168-231).
-                tex1_w = texture.sample_bilinear_quad(tex_crop, sx, sy, wrap="reflect")
+                    sx, sy = affine.apply_xy(motion_inv_k, wpx, wpy)
+                    if has_warp:
+                        # Frame-1 masks and texture warped by the inverse
+                        # field (renderTransformedTexture cpp:341-346,
+                        # renderMasks cpp:370-386). Mask warp is sampled
+                        # within the window.
+                        idx, idy = _bilinear_flow_at(wi, wpx, wpy)
+                        wsx, wsy = affine.apply_xy(
+                            motion_inv_k, wpx + idx, wpy + idy
+                        )
+                        sx = jnp.where(warping, wsx, sx)
+                        sy = jnp.where(warping, wsy, sy)
+                        cov = jnp.stack([aa1, in1.astype(jnp.float32)], -1)
+                        cov_w = texture.sample_bilinear(
+                            cov,
+                            wpx + idx - x0.astype(jnp.float32),
+                            wpy + idy - y0.astype(jnp.float32),
+                            wrap="zero",
+                        )
+                        aa1 = jnp.where(warping, cov_w[..., 0], aa1)
+                        in1 = jnp.where(
+                            warping, _warp_binary_threshold(cov_w[..., 1]), in1
+                        )
 
-                m1 = aa1 if cfg.use_antialiasing else in1.astype(jnp.float32)
-                f1_w = lax.dynamic_slice(frame1, (y0, x0, 0), (wh, ww, 3))
-                f1_w = jnp.round(f1_w * (1.0 - m1[..., None]) + tex1_w * m1[..., None])
+                    # Sample the object texture (the WxH center crop) at the
+                    # motion-inverse positions, reflect-wrapped in crop space
+                    # (getTransformedTexture, cpp:168-231).
+                    tex1_w = texture.sample_bilinear_quad(
+                        tex_crop, sx, sy, wrap="reflect"
+                    )
+
+                    m1 = aa1 if cfg.use_antialiasing else in1.astype(jnp.float32)
+                    f1_w = jnp.round(
+                        f1_w * (1.0 - m1[..., None]) + tex1_w * m1[..., None]
+                    )
+                    if cfg.compute_inverse_flow:
+                        imx, imy = affine.apply_xy(motion_inv_k, wpx, wpy)
+                        ifx_w = jnp.where(in1, imx - wpx, ifx_w)
+                        ify_w = jnp.where(in1, imy - wpy, ify_w)
+                    return f1_w, ifx_w, ify_w
+
+                args = (f1_w, ifx_w, ify_w)
+                if use_pallas and not has_warp:
+                    f1_w, ifx_w, ify_w = fused(args)
+                elif use_pallas and has_warp:
+                    f1_w, ifx_w, ify_w = lax.cond(warping, composed, fused, args)
+                else:
+                    f1_w, ifx_w, ify_w = composed(args)
+
                 frame1 = lax.dynamic_update_slice(frame1, f1_w, (y0, x0, 0))
-
                 if cfg.compute_inverse_flow:
-                    imx, imy = affine.apply_xy(motion_inv_k, wpx, wpy)
-                    ifx_w = lax.dynamic_slice(iflow_x, (y0, x0), (wh, ww))
-                    ify_w = lax.dynamic_slice(iflow_y, (y0, x0), (wh, ww))
-                    ifx_w = jnp.where(in1, imx - wpx, ifx_w)
-                    ify_w = jnp.where(in1, imy - wpy, ify_w)
                     iflow_x = lax.dynamic_update_slice(iflow_x, ifx_w, (y0, x0))
                     iflow_y = lax.dynamic_update_slice(iflow_y, ify_w, (y0, x0))
                 return frame1, iflow_x, iflow_y
