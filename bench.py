@@ -25,7 +25,7 @@ def main():
     from flowgen.random.streams import root_key
 
     mode = int(sys.argv[1]) if len(sys.argv) > 1 else 7
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
     cfg = flowgen.DataGenConfig(mode=mode, batch_size=batch, seed=0)
     atlas = jnp.asarray(
