@@ -296,7 +296,7 @@ def sample_scene(
             c_kind, c_rx, c_ry, c_pts, c_ne = _sample_geometry(ck, spec, non_composite)
             c_init_rot = uniform(ck(Stream.OBJ_INIT_ROT), *spec.obj_init_rot_range)
             off_x = uniform(ck(Stream.COMP_OFFSET), *spec.component_offset_range)
-            off_y = uniform(ck(Stream.COMP_OFFSET + 64), *spec.component_offset_range)
+            off_y = uniform(ck(Stream.COMP_OFFSET_Y), *spec.component_offset_range)
             c_add = shapers.trigger(
                 spec.component_additive_p, uniform(ck(Stream.COMP_IS_ADDITIVE), 0.0, 1.0)
             )

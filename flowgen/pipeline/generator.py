@@ -203,7 +203,10 @@ class Generator:
         while not self._paused.is_set():
             time.sleep(0.001)
         with self._lock:
-            out = self._inflight.pop(0)
+            # A racing stop() may clear the prefetch queue between our start()
+            # check and here; dispatch inline rather than IndexError. The step
+            # counter only moves under the lock, so the stream stays exact.
+            out = self._inflight.pop(0) if self._inflight else self._dispatch()
         self._pump()
         if self._as_numpy:
             out = {k: np.asarray(v) for k, v in out.items()}

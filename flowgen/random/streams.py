@@ -73,6 +73,7 @@ class Stream(enum.IntEnum):
     COMP_NUM_COMPONENTS = 38
     COMP_IS_ADDITIVE = 39
     COMP_OFFSET = 40
+    COMP_OFFSET_Y = 47
     # Thin objects / deformations / generic
     OBJ_IS_EXTRA_THIN = 41
     OBJ_DEFORMS_NONRIGIDLY = 42
