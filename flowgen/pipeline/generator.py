@@ -65,10 +65,15 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
     if base_index is None:
         base_index = step * b
     indices = base_index + jnp.arange(b)
-    # Quad-pack once per step and pin it: without the barrier XLA happily
-    # rematerializes the (large) packed atlas into each of its many gather
-    # consumers, recomputing it per object (3x slowdown at 32 textures).
-    atlas = jax.lax.optimization_barrier(prepare_atlas(atlas))
+    # Accept either a raw (T, SH, SW, 3) atlas or one already quad-packed to
+    # (T, SH, SW, 12) by prepare_atlas. Callers on the hot path (Generator,
+    # make_generate_fn) pre-pack ONCE outside the step — packing is ~10 ms per
+    # batch at 32 textures and the atlas never changes. The barrier pins the
+    # packed atlas: without it XLA rematerializes it into each of its many
+    # gather consumers, recomputing it per object (3x slowdown at 32 textures).
+    if atlas.shape[-1] != 12:
+        atlas = prepare_atlas(atlas)
+    atlas = jax.lax.optimization_barrier(atlas)
     n_slots = 1
     if cfg.mode_spec.warp_p > 0.0:
         n_slots = warpgen.bank_size(cfg)
@@ -86,6 +91,27 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
     return _adapt_output(i0, i1, f0, f1, cfg)
 
 
+def make_atlas_packer():
+    """Host-side quad-pack cache: packs a concrete atlas once per distinct
+    array object (the atlas is static across steps; repacking costs ~10 ms per
+    batch at 32 textures). Traced atlases (callers composing under jit) fall
+    through — generate_batch packs inline."""
+    from ..compose.render import prepare_atlas
+
+    pack = jax.jit(prepare_atlas)
+    cache = {}
+
+    def packed(atlas):
+        if atlas.shape[-1] == 12 or isinstance(atlas, jax.core.Tracer):
+            return atlas
+        if cache.get("id") != id(atlas):
+            cache["id"] = id(atlas)
+            cache["val"] = pack(atlas)
+        return cache["val"]
+
+    return packed
+
+
 def make_generate_fn(cfg: DataGenConfig, mesh=None):
     """Compiled generation step. With a mesh, generation shards over the
     ``data`` axis via shard_map — per-device independent generation, zero
@@ -101,8 +127,9 @@ def make_generate_fn(cfg: DataGenConfig, mesh=None):
         return make_sharded_generate_fn(cfg, mesh)
 
     gen = jax.jit(functools.partial(generate_batch, cfg=cfg))
+    packed = make_atlas_packer()
     if cfg.mode_spec.warp_p == 0.0:
-        return gen
+        return lambda root, step, atlas: gen(root, step, packed(atlas))
 
     bank_fn = jax.jit(functools.partial(warpgen.make_warp_bank, cfg=cfg))
     cache = {}
@@ -112,7 +139,7 @@ def make_generate_fn(cfg: DataGenConfig, mesh=None):
         if cache.get("epoch") != epoch:
             cache["bank"] = bank_fn(root, jnp.int32(step))
             cache["epoch"] = epoch
-        return gen(root, jnp.int32(step), atlas, warp_bank=cache["bank"])
+        return gen(root, jnp.int32(step), packed(atlas), warp_bank=cache["bank"])
 
     return fn
 
@@ -137,7 +164,11 @@ class Generator:
         self.cfg = cfg
         if atlas is None:
             atlas = texture_io.atlas_for_config(cfg)
-        self._atlas = jnp.asarray(atlas)  # uint8; quad-packed inside the step
+        from ..compose.render import prepare_atlas
+
+        # Quad-pack once at construction; the step then skips the ~10 ms/batch
+        # repack (generate_batch accepts both packed and raw atlases).
+        self._atlas = jax.jit(prepare_atlas)(jnp.asarray(atlas))
         self._root = root_key(cfg.seed)
         self._fn = make_generate_fn(cfg, mesh)
         self._step = start_step

@@ -36,26 +36,67 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
 
     local_cfg = dataclasses.replace(cfg, batch_size=cfg.batch_size // n)
 
-    def local_step(root, step, atlas):
+    def local_step(root, step, atlas, warp_bank=None):
         # Device ``di`` renders global sample indices
         # step*B + di*B_local + [0, B_local): the union over devices equals the
         # single-device index set for the same step, so content is invariant to
         # device count (per-sample keys depend only on the global index).
         di = lax.axis_index(axis)
         base = step * cfg.batch_size + di * local_cfg.batch_size
-        return generate_batch(root, step, atlas, local_cfg, base_index=base)
+        return generate_batch(
+            root, step, atlas, local_cfg, base_index=base, warp_bank=warp_bank
+        )
 
-    sharded = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), P(), P(*[None] * 4)),
-        out_specs=P(axis),
-        # The renderer's lax.cond object-skipping mixes device-varying values
-        # with replicated zero-init accumulators; that's semantically fine for
-        # this embarrassingly-parallel program, so skip the vma type check.
-        check_vma=False,
+    def shmap(fn, in_specs):
+        return jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=P(axis),
+            # The renderer's lax.cond object-skipping mixes device-varying
+            # values with replicated zero-init accumulators; that's
+            # semantically fine for this embarrassingly-parallel program, so
+            # skip the vma type check.
+            check_vma=False,
+        )
+
+    from .generator import make_atlas_packer
+
+    packed = make_atlas_packer()
+
+    if cfg.mode_spec.warp_p == 0.0:
+        gen = jax.jit(shmap(local_step, (P(), P(), P(*[None] * 4))))
+        return lambda root, step, atlas: gen(root, step, packed(atlas))
+
+    # Mode 9: the warp-crop bank is identical on every device (it is keyed by
+    # (root, bank epoch), not by sample index), so deriving it inside
+    # local_step would recompute the 1536^2 x 17-iteration field composition
+    # replicated on every device EVERY step. Instead it is computed once per
+    # ``warp_bank_reuse_steps`` epoch, replicated over the mesh, and passed
+    # through as a plain input — the deterministic analog of the reference
+    # CropGenerator's crop reuse (WarpFields.cpp:516-538), same host-side
+    # caching as make_generate_fn's unsharded branch.
+    from ..warpfields import generator as warpgen
+
+    gen = jax.jit(shmap(local_step, (P(), P(), P(*[None] * 4), P())))
+    import functools
+
+    import jax.numpy as jnp
+
+    bank_fn = jax.jit(
+        functools.partial(warpgen.make_warp_bank, cfg=cfg),
+        out_shardings=NamedSharding(mesh, P()),
     )
-    return jax.jit(sharded)
+    cache = {}
+
+    def fn(root, step, atlas):
+        epoch = int(step) // max(cfg.warp_bank_reuse_steps, 1)
+        if cache.get("epoch") != epoch:
+            cache["bank"] = bank_fn(root, jnp.int32(step))
+            cache["epoch"] = epoch
+        return gen(root, jnp.int32(step), packed(atlas), cache["bank"])
+
+    return fn
 
 
 def replicate(mesh: Mesh, x):
