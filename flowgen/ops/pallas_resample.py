@@ -1,0 +1,370 @@
+"""Banded two-pass affine resampling in Mosaic — the TPU answer to AGG's
+``span_image_filter_rgb_bilinear`` full-frame warps (reference:
+src/caffe/DataGenerator.cpp:168-231) and the CImg crop/rotate/resize chain
+(cpp:87-109).
+
+Why not XLA gathers: TPU gathers fetch one row per index at a hardware row
+rate (~250M rows/s measured on v5e), making every 512x384 bilinear resample
+cost ~1.5 ms and leaving the generator gather-bound. Mosaic's
+``tpu.dynamic_gather`` is restricted to a single vreg along the gather
+dimension (8 sublanes / 128 lanes), so arbitrary gathers are impossible — but
+an AFFINE warp has structure: decompose it into two 1-D passes whose sampling
+positions move linearly, and every gather lands within a handful of 128-lane
+tiles that a short static loop covers at vector speed.
+
+Decomposition (Catmull–Smith two-pass) for an output->source affine
+``sx = a x + b y + e``, ``sy = c x + d y + f`` (coords at pixel centers =
+integers, CImg convention):
+
+  pass 1 (horizontal): t1[w, x] = row_lerp(slab[w0 + w], u*(x, w0 + w)),
+      u* = A x + B w + C with A = a - b c / d, B = b / d, C = e - B f
+  pass 2 (vertical):   out[y, x] = lerp(t1[v - w0], t1[v - w0 + 1], frac(v)),
+      v = c x + d y + f
+
+Pass 2 runs on the TRANSPOSED intermediate so its gathers are lane-wise too
+(the rotation term |c|*width would otherwise span dozens of 8-row sublane
+bands, and sublane gathers cannot cross a vreg). The result equals true
+bilinear sampling exactly when b == 0 and otherwise interpolates along the
+shear direction — a sub-level resampling deviation of the same order as the
+reference's own multi-resample blur (see ROADMAP "Intentional fidelity
+deviations"; the reference chain resamples every texture 2-3 times).
+
+Slab format: RGB packed into one int32 per texel ((r<<16)|(g<<8)|b) so ONE
+gather fetches all three channels, pre-padded with REFLECTED margins so wrap
+handling inside the kernel is a clamp (:func:`pack_padded_slab`). |d| must
+stay well above 0 (rotations < ~45 deg) — true for every background/object
+motion envelope in the 13 modes; :func:`max_row_span` asserts it.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Host-side slab preparation
+# ---------------------------------------------------------------------------
+
+
+def pack_rgb_i32(img):
+    """(..., H, W, 3) uint8/float -> (..., H, W) int32 with (r<<16)|(g<<8)|b."""
+    img = jnp.asarray(img)
+    if img.dtype != jnp.uint8:
+        img = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+    v = img.astype(jnp.int32)
+    return (v[..., 0] << 16) | (v[..., 1] << 8) | v[..., 2]
+
+
+def _reflect_indices(i, n):
+    period = 2 * n
+    i = jnp.remainder(i, period)
+    return jnp.where(i >= n, period - 1 - i, i)
+
+
+def reflect_pad(img, margin_y: int, margin_x: int):
+    """Pad a (H, W) array with AGG ``wrap_mode_reflect`` content (period 2n,
+    second half mirrored — matches texture._wrap_indices)."""
+    h, w = img.shape[0], img.shape[1]
+    yi = _reflect_indices(jnp.arange(-margin_y, h + margin_y), h)
+    xi = _reflect_indices(jnp.arange(-margin_x, w + margin_x), w)
+    return img[yi][:, xi]
+
+
+def pack_padded_slab(img, margin_y: int, margin_x: int):
+    """(H, W, 3) image -> reflect-padded RGB-packed int32 slab, shape-padded
+    to (mult of 8, mult of 128) with edge-clamp rows/cols (never sampled: the
+    kernel clamps positions to the reflected extent)."""
+    slab = reflect_pad(pack_rgb_i32(img), margin_y, margin_x)
+    h, w = slab.shape
+    hp, wp = _round_up(h, 8), _round_up(w, 128)
+    return jnp.pad(slab, ((0, hp - h), (0, wp - w)), mode="edge")
+
+
+def two_pass_coeffs(transform):
+    """Split an output->source affine (2, 3) into the two 1-D pass
+    coefficient vectors: returns (A, B, C, c, d, f)."""
+    a, b, e = transform[0, 0], transform[0, 1], transform[0, 2]
+    c, d, f = transform[1, 0], transform[1, 1], transform[1, 2]
+    B = b / d
+    A = a - B * c
+    C = e - B * f
+    return A, B, C, c, d, f
+
+
+def max_row_span(wh: int, ww: int, max_rot: float, max_scale: float) -> int:
+    """Static bound on the source-row span of a (wh, ww) window (pass-1 row
+    count), from a mode's motion envelope: |c| <= sin(max_rot)*max_scale,
+    |d| <= max_scale. Asserts the decomposition stays well-conditioned."""
+    assert max_rot < math.pi / 4, "two-pass resampler needs |rot| < 45 deg"
+    span = math.sin(max_rot) * max_scale * ww + max_scale * wh + 4
+    return _round_up(int(math.ceil(span)) + 8, 8)
+
+
+def scan_tiles_pass1(A_max: float, B_max: float, P: int) -> int:
+    """Static lane-tile scan count for pass 1: u spans A*128 + |B|*P + 2 over
+    one (P, 128) x-tile block."""
+    return int(math.ceil((A_max * 128 + B_max * P + 3) / 128)) + 1
+
+
+def scan_tiles_pass2(c_max: float, d_max: float, xchunk: int) -> int:
+    """Static lane-tile scan count for pass 2 over a (xchunk, 128) block of
+    the transposed intermediate: v spans |c|*xchunk + |d|*128 + 2."""
+    return int(math.ceil((c_max * xchunk + d_max * 128 + 3) / 128)) + 1
+
+
+# ---------------------------------------------------------------------------
+# In-kernel primitives
+# ---------------------------------------------------------------------------
+
+
+def _unpack3(v):
+    return (
+        ((v >> 16) & 0xFF).astype(jnp.float32),
+        ((v >> 8) & 0xFF).astype(jnp.float32),
+        (v & 0xFF).astype(jnp.float32),
+    )
+
+
+def _banded_tap_pair(block_at, idx0, idx1, n_tiles_scan: int, zero,
+                     n_src_tiles: int):
+    """Gather two integer-tap columns per element from lane-tiled rows.
+
+    ``block_at(base)`` must return the (R, 128) block of the source rows at
+    column offset ``base`` (a traced multiple of 128). ``idx0``/``idx1``:
+    (R, 128) int32 global column indices, all within ``n_tiles_scan`` tiles
+    of the tile containing min(idx0). ``n_src_tiles``: source width / 128
+    (keeps the scan in-bounds). Returns two (R, 128) taps."""
+    n_tiles_scan = min(n_tiles_scan, n_src_tiles)
+    tile0 = jnp.minimum(jnp.min(idx0) >> 7, n_src_tiles - n_tiles_scan)
+    tile0 = jnp.maximum(tile0, 0)
+    acc0 = zero
+    acc1 = zero
+    for k in range(n_tiles_scan):
+        base = pl.multiple_of((tile0 + k) * 128, 128)
+        part = block_at(base)
+        o0 = idx0 - base
+        o1 = idx1 - base
+        g0 = jnp.take_along_axis(part, jnp.clip(o0, 0, 127), axis=1)
+        g1 = jnp.take_along_axis(part, jnp.clip(o1, 0, 127), axis=1)
+        acc0 = jnp.where((o0 >= 0) & (o0 < 128), g0, acc0)
+        acc1 = jnp.where((o1 >= 0) & (o1 < 128), g1, acc1)
+    return acc0, acc1
+
+
+def resample_affine_in_kernel(
+    slab_ref,          # ref (SHp, SWp) int32 packed RGB slab (VMEM)
+    coeffs,            # (A, B, C, c, d, f) traced scalars, slab coords
+    x0, y0,            # window origin in OUTPUT coords (traced scalars)
+    wh: int, ww: int,  # static window size; ww mult of 128, wh mult of 8
+    P: int,            # static pass-1 row count (max_row_span), mult of 8
+    rows_ref,          # VMEM scratch (P, SWp) int32 (pass-1 row block)
+    t1_ref,            # VMEM scratch (3, P, ww) f32
+    t1t_ref,           # VMEM scratch (ww, Pp) f32, Pp = round_up(P, 128)
+    outt_ref,          # VMEM scratch (ww, round_up(wh, 128)) f32
+    x_tiles_scan: int,  # scan_tiles_pass1(...)
+    y_tiles_scan: int,  # scan_tiles_pass2(..., xchunk=128)
+):
+    """Two-pass affine resample of a window from a packed slab. ``coeffs``
+    map output coords to SLAB coords (caller folds the reflect margins in).
+    Returns three (wh, ww) f32 channel planes. Callable from any kernel."""
+    A, B, C, c, d, f = coeffs
+    SHp, SWp = slab_ref.shape
+    Pp = t1t_ref.shape[1]
+    XCHUNK = 128 if ww >= 128 else ww
+
+    # Pass-1 row-block start: v over window corners, floor - 1, snapped to 8,
+    # clamped so [w0, w0+P) stays inside the padded slab.
+    xs = (x0.astype(jnp.float32), x0.astype(jnp.float32) + (ww - 1))
+    ys = (y0.astype(jnp.float32), y0.astype(jnp.float32) + (wh - 1))
+    corners = [c * xx + d * yy + f for xx in xs for yy in ys]
+    vmin = jnp.minimum(jnp.minimum(corners[0], corners[1]),
+                       jnp.minimum(corners[2], corners[3]))
+    w0 = (jnp.floor(vmin).astype(jnp.int32) - 1) & ~7
+    w0 = pl.multiple_of(jnp.clip(w0, 0, SHp - P), 8)
+    w0f = w0.astype(jnp.float32)
+
+    # Mosaic loads support only one dynamic slice; stage the row block once
+    # so the per-tile loads below slice it with a single dynamic lane offset.
+    rows_ref[...] = slab_ref[pl.ds(w0, P), :]
+
+    # ---- pass 1: t1[w, x] = row_lerp(slab[w0 + w], A x + B (w0+w) + C) ----
+    for xt in range(ww // 128):
+        xg = (
+            lax.broadcasted_iota(jnp.int32, (P, 128), 1).astype(jnp.float32)
+            + (x0 + xt * 128).astype(jnp.float32)
+        )
+        wg = (
+            lax.broadcasted_iota(jnp.int32, (P, 128), 0).astype(jnp.float32)
+            + w0f
+        )
+        u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
+        uf = jnp.floor(u)
+        fx = u - uf
+        u0i = uf.astype(jnp.int32)
+        u1i = jnp.minimum(u0i + 1, SWp - 1)
+        p0, p1 = _banded_tap_pair(
+            lambda base: rows_ref[:, pl.ds(base, 128)],
+            u0i, u1i, x_tiles_scan, jnp.zeros((P, 128), jnp.int32),
+            SWp // 128,
+        )
+        for ch, (v0, v1) in enumerate(zip(_unpack3(p0), _unpack3(p1))):
+            t1_ref[ch, :, xt * 128 : (xt + 1) * 128] = v0 + (v1 - v0) * fx
+
+    # ---- pass 2 on the transposed intermediate ----
+    whp = _round_up(wh, 128)
+    outs = []
+    for ch in range(3):
+        t1t_ref[:, :P] = t1_ref[ch].T  # (ww, P)
+        for yt in range(whp // 128):
+            for xc in range(ww // XCHUNK):
+                yg = (
+                    lax.broadcasted_iota(
+                        jnp.int32, (XCHUNK, 128), 1
+                    ).astype(jnp.float32)
+                    + (y0 + yt * 128).astype(jnp.float32)
+                )
+                xg = (
+                    lax.broadcasted_iota(
+                        jnp.int32, (XCHUNK, 128), 0
+                    ).astype(jnp.float32)
+                    + (x0 + xc * XCHUNK).astype(jnp.float32)
+                )
+                v = c * xg + d * yg + f - w0f
+                v = jnp.clip(v, 0.0, float(P - 1))
+                vf = jnp.floor(v)
+                fy = v - vf
+                v0i = vf.astype(jnp.int32)
+                v1i = jnp.minimum(v0i + 1, P - 1)
+                q0, q1 = _banded_tap_pair(
+                    lambda base, _xc=xc: t1t_ref[
+                        _xc * XCHUNK : (_xc + 1) * XCHUNK, pl.ds(base, 128)
+                    ],
+                    v0i, v1i, y_tiles_scan,
+                    jnp.zeros((XCHUNK, 128), jnp.float32),
+                    Pp // 128,
+                )
+                outt_ref[
+                    xc * XCHUNK : (xc + 1) * XCHUNK, yt * 128 : (yt + 1) * 128
+                ] = q0 + (q1 - q0) * fy
+        outs.append(outt_ref[:, :wh].T)  # back to (wh, ww)
+    return tuple(outs)
+
+
+# ---------------------------------------------------------------------------
+# Standalone pallas_call wrapper (tests / benchmarking / simple callers)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wh", "ww", "P", "x_tiles_scan", "y_tiles_scan", "interpret"),
+)
+def affine_resample_pallas(
+    slab, transform, x0, y0,
+    *, wh: int, ww: int, P: int,
+    x_tiles_scan: int = 4, y_tiles_scan: int = 4, interpret: bool = False,
+):
+    """Resample a (wh, ww) window at output origin (x0, y0) through an
+    output->SLAB-coords affine from a packed padded slab (pack_padded_slab).
+    Returns (wh, ww, 3) f32. See resample_affine_in_kernel for constraints."""
+    Pp = _round_up(P, 128)
+    SWp = slab.shape[1]
+
+    def kernel(coef_ref, org_ref, slab_ref, out_ref, rows_ref, t1_ref,
+               t1t_ref, outt_ref):
+        coeffs = tuple(coef_ref[i] for i in range(6))
+        r, g, b = resample_affine_in_kernel(
+            slab_ref, coeffs, org_ref[0], org_ref[1], wh, ww, P,
+            rows_ref, t1_ref, t1t_ref, outt_ref, x_tiles_scan, y_tiles_scan,
+        )
+        out_ref[0] = r
+        out_ref[1] = g
+        out_ref[2] = b
+
+    A, B, C, c, d, f = two_pass_coeffs(jnp.asarray(transform, jnp.float32))
+    coefs = jnp.stack([A, B, C, c, d, f]).astype(jnp.float32)
+    org = jnp.stack([jnp.asarray(x0), jnp.asarray(y0)]).astype(jnp.int32)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, wh, ww), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((P, SWp), jnp.int32),
+            pltpu.VMEM((3, P, ww), jnp.float32),
+            pltpu.VMEM((ww, Pp), jnp.float32),
+            pltpu.VMEM((ww, _round_up(wh, 128)), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(coefs, org, slab)
+    return jnp.moveaxis(out, 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# Pure-jnp reference with IDENTICAL semantics (for exactness tests)
+# ---------------------------------------------------------------------------
+
+
+def two_pass_reference(slab, transform, x0, y0, wh, ww, P):
+    """Vectorized jnp re-statement of the kernel's exact arithmetic (same
+    skewed two-pass, same clamps, same lerp forms). ``slab``: packed int32
+    padded slab; ``transform`` maps output coords to slab coords."""
+    SHp, SWp = slab.shape
+    A, B, C, c, d, f = two_pass_coeffs(jnp.asarray(transform, jnp.float32))
+    xs = jnp.float32(x0) + jnp.array([0.0, ww - 1.0])
+    ys = jnp.float32(y0) + jnp.array([0.0, wh - 1.0])
+    corners = c * xs[:, None] + d * ys[None, :] + f
+    w0 = (jnp.floor(corners.min()).astype(jnp.int32) - 1) & ~7
+    w0 = jnp.clip(w0, 0, SHp - P)
+
+    wg, xg = jnp.meshgrid(
+        w0 + jnp.arange(P, dtype=jnp.float32),
+        x0 + jnp.arange(ww, dtype=jnp.float32),
+        indexing="ij",
+    )
+    u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
+    uf = jnp.floor(u)
+    fx = u - uf
+    u0 = uf.astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, SWp - 1)
+    rows = lax.dynamic_slice_in_dim(slab, w0, P, axis=0)
+
+    yg2, xg2 = jnp.meshgrid(
+        y0 + jnp.arange(wh, dtype=jnp.float32),
+        x0 + jnp.arange(ww, dtype=jnp.float32),
+        indexing="ij",
+    )
+    v = jnp.clip(c * xg2 + d * yg2 + f - w0, 0.0, float(P - 1))
+    vf = jnp.floor(v)
+    fy = v - vf
+    v0 = vf.astype(jnp.int32)
+    v1 = jnp.minimum(v0 + 1, P - 1)
+
+    def chan(shift):
+        vals = (rows >> shift) & 0xFF
+        a0 = jnp.take_along_axis(vals, u0, axis=1).astype(jnp.float32)
+        a1 = jnp.take_along_axis(vals, u1, axis=1).astype(jnp.float32)
+        t1 = a0 + (a1 - a0) * fx
+        b0 = jnp.take_along_axis(t1, v0, axis=0)
+        b1 = jnp.take_along_axis(t1, v1, axis=0)
+        return b0 + (b1 - b0) * fy
+
+    return jnp.stack([chan(16), chan(8), chan(0)], axis=-1)
