@@ -47,6 +47,38 @@ SUPPORT_SIGMA_JITTER = 20.0
 CENTER_JITTER = 10.0
 
 
+# ---------------------------------------------------------------------------
+# Supports (WarpFields.h:37-124, WarpFields.cpp:31-115): influence masks for
+# displacers. The reference's CropGenerator only ever instantiates Gaussian2D,
+# but the component surface includes the flat Constant and the isotropic
+# Gaussian1D; all are peak-normalized (``at`` divides by the center value, so
+# the 1/sqrt(2*pi*sigma^2) prefactor cancels and only the exponential remains).
+# All take broadcastable coordinate arrays and vectorize over pixels.
+# ---------------------------------------------------------------------------
+
+
+def constant_support(x, y, factor=1.0):
+    """Supports::Constant (WarpFields.cpp:50-59): flat weight everywhere."""
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+    return jnp.broadcast_to(jnp.asarray(factor, jnp.float32), shape)
+
+
+def gaussian1d_support(x, y, cx, cy, sigma):
+    """Supports::Gaussian1D (WarpFields.cpp:64-82): isotropic Gaussian."""
+    d2 = (x - cx) ** 2 + (y - cy) ** 2
+    return jnp.exp(-d2 / (2.0 * sigma * sigma))
+
+
+def gaussian2d_support(x, y, cx, cy, sigma_x, sigma_y, angle):
+    """Supports::Gaussian2D (WarpFields.cpp:88-112): anisotropic rotated
+    Gaussian. The y-residual is rescaled by sigma_x/sigma_y so a single
+    sigma_x^2 denominator serves both axes (the reference's ratio_x_y trick)."""
+    a, b = jnp.cos(angle), -jnp.sin(angle)
+    rx = a * (x - cx) + b * (y - cy)
+    ry = (-b * (x - cx) + a * (y - cy)) * (sigma_x / sigma_y)
+    return jnp.exp(-(rx * rx + ry * ry) / (2.0 * sigma_x * sigma_x))
+
+
 class DisplacerGrid(NamedTuple):
     """Parameters of a hex grid of support-weighted displacers. [N] leaves."""
 
@@ -138,14 +170,10 @@ def _displacer_term(grid: DisplacerGrid, i, px, py, inverse: bool):
         kind == 0, sgn * grid.p1[i], jnp.where(kind == 1, rot_fy, zoom_fy)
     )
 
-    # Gaussian2D support, peak-normalized (cpp:88-112).
-    a, b = jnp.cos(grid.sup_angle[i]), -jnp.sin(grid.sup_angle[i])
-    cc, d = -b, a
-    sx_rel = px - grid.sup_cx[i]
-    sy_rel = py - grid.sup_cy[i]
-    rx = a * sx_rel + b * sy_rel
-    ry = (cc * sx_rel + d * sy_rel) * (grid.sup_sx[i] / grid.sup_sy[i])
-    w = jnp.exp(-(rx * rx + ry * ry) / (2.0 * grid.sup_sx[i] * grid.sup_sx[i]))
+    w = gaussian2d_support(
+        px, py, grid.sup_cx[i], grid.sup_cy[i],
+        grid.sup_sx[i], grid.sup_sy[i], grid.sup_angle[i],
+    )
     return fx * w, fy * w
 
 

@@ -23,6 +23,31 @@ def test_hex_grid_geometry():
     assert (np.unique(y).size) == 9
 
 
+def test_supports():
+    # Supports are peak-normalized influence masks (WarpFields.cpp:31-115):
+    # value 1 at the center, falling off per the shape.
+    xx, yy = np.meshgrid(np.arange(64, dtype=np.float32),
+                         np.arange(64, dtype=np.float32))
+    x, y = jnp.asarray(xx), jnp.asarray(yy)
+
+    c = np.asarray(fields.constant_support(x, y, factor=0.75))
+    np.testing.assert_allclose(c, 0.75)
+
+    g1 = np.asarray(fields.gaussian1d_support(x, y, 32.0, 32.0, 8.0))
+    assert g1[32, 32] == 1.0
+    # isotropy + exact falloff: exp(-d^2 / 2 sigma^2)
+    np.testing.assert_allclose(g1[32, 40], np.exp(-64.0 / 128.0), rtol=1e-5)
+    np.testing.assert_allclose(g1[40, 32], g1[32, 40], rtol=1e-6)
+
+    # Gaussian2D with equal sigmas reduces to Gaussian1D for any angle.
+    g2 = np.asarray(fields.gaussian2d_support(x, y, 32.0, 32.0, 8.0, 8.0, 0.7))
+    np.testing.assert_allclose(g2, g1, rtol=1e-5, atol=1e-7)
+
+    # Anisotropy rotates with the angle: at angle 0 the x-axis uses sigma_x.
+    ga = np.asarray(fields.gaussian2d_support(x, y, 32.0, 32.0, 16.0, 4.0, 0.0))
+    assert ga[32, 40] > ga[40, 32]  # wide along x, narrow along y
+
+
 def test_self_compose_translation_doubles():
     # A constant translation field composes to 2^iters * t (exact for
     # constant fields, the degenerate case of the doubling scheme cpp:360-384).
