@@ -39,6 +39,7 @@ MAX_COMPONENTS = 7
 MAX_SPOKES = 20          # FixedRangeUniformInt(3, 20) (DataGenerator.cpp:1395 etc.)
 EDGE_SUBDIV = 6          # points per spoke-step when flattening outlines
 MAX_EDGES = MAX_SPOKES * EDGE_SUBDIV  # 120 edge slots per polygon primitive
+ELLIPSE_STEPS = 100      # agg::ellipse flattening (DataGenerator.cpp:1080)
 
 # Object IDs mirror the reference's painter's-algorithm ordering:
 # background id 1, foreground ids 10+i (data_generation_layer.cpp:202, 210).

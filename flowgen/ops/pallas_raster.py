@@ -1,20 +1,22 @@
-"""Pallas TPU kernel for polygon coverage.
+"""Pallas TPU kernels for exact-area coverage rasterization.
 
-Drop-in accelerated backend for :func:`flowgen.ops.raster.polygon_coverage`:
-the whole winding + signed-distance evaluation fuses into one Mosaic kernel
-whose edge loop runs only over the primitive's *actual* outline points
-(``@pl.when`` culling of the static padding) — something the dense XLA path
-cannot do. Typical polygons use 20-60 of the 120 padded edge slots, so the
-kernel saves both the padding work and all intermediate HBM traffic of the
-unfused path.
+Drop-in accelerated backends for :mod:`flowgen.ops.raster`: the per-edge
+exact-area accumulation (Green's theorem with the edge clipped to each pixel
+cell — see ``raster.edge_cell_area``) fuses into one Mosaic kernel whose edge
+loop runs only over the primitive's *actual* outline points (dynamic trip
+count culling the static padding) — something the dense XLA path cannot do.
+Typical polygons use 20-60 of the 120 padded edge slots, so the kernel saves
+both the padding work and all intermediate HBM traffic of the unfused path.
+
+Numerics match ``raster.polygon_coverage`` up to f32 rounding (the jnp path
+broadcasts per-edge coefficient arrays; the kernel evaluates explicit FMAs),
+and both match AGG's scanline-accumulated exact cell areas
+(MovingObjectBase::draw, src/caffe/DataGenerator.cpp:351-368): ``aa`` is the
+covered area fraction, ``inside`` is area >= 0.5 (gamma_threshold(0.5)).
 
 The pixel block (the object evaluation window, e.g. 192x256 or the full frame)
 lives in VMEM for the duration; edge endpoints are scalars in SMEM, read per
-edge iteration. Accumulators (winding, squared distances) are VMEM scratch.
-
-Numerics are identical to raster.polygon_coverage up to f32 rounding: the jnp
-path evaluates the per-edge linear forms via a single f32 matmul while the
-kernel evaluates them as explicit FMAs.
+edge iteration. Accumulators are VMEM scratch.
 """
 
 from __future__ import annotations
@@ -27,95 +29,41 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_INF = 3.0e38  # plain float: jnp scalars would be captured as consts
 
-
-def _kernel(edges_ref, n_ref, px_ref, py_ref, aa_ref, in_ref, wn_ref, d2_ref, v2_ref):
-    px = px_ref[:]
-    py = py_ref[:]
-    n_edges = n_ref[0]
-
-    wn_ref[:] = jnp.zeros_like(wn_ref)
-    d2_ref[:] = jnp.full_like(d2_ref, _INF)
-    v2_ref[:] = jnp.full_like(v2_ref, _INF)
+def _area_accumulate(edges_ref, base, n_edges, px, py, area_ref):
+    """Accumulate exact signed cell-area contributions of edge slots
+    [base, base + n_edges) into ``area_ref`` (see raster.edge_cell_area for
+    the math; px/py are pixel-center grids, cells are unit squares)."""
+    xlo = px - 0.5
+    ylo = py - 0.5
 
     def edge(e, _):
-        @pl.when(e < n_edges)
-        def _():
-            ax = edges_ref[0, e]
-            ay = edges_ref[1, e]
-            bx = edges_ref[2, e]
-            by = edges_ref[3, e]
-            dx = bx - ax
-            dy = by - ay
-            len2 = dx * dx + dy * dy
+        ax = edges_ref[0, base + e]
+        ay = edges_ref[1, base + e]
+        bx = edges_ref[2, base + e]
+        by = edges_ref[3, base + e]
+        dx = bx - ax
+        dy = by - ay
+        inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, 0.0)
+        inv_dx = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, 0.0)
 
-            rx = px - ax
-            ry = py - ay
-            # Vertex distance (covers the t-outside-[0,1] case of the segment
-            # distance via the endpoint minimum).
-            v2_ref[:] = jnp.minimum(v2_ref[:], rx * rx + ry * ry)
-
-            @pl.when(len2 > 1e-12)
-            def _():
-                inv_len2 = 1.0 / len2
-                cross = dx * ry - dy * rx
-                # Nonzero-winding crossing rule (AGG default fill).
-                up = (ay <= py) & (by > py) & (cross > 0)
-                down = (by <= py) & (ay > py) & (cross < 0)
-                wn_ref[:] = wn_ref[:] + up.astype(jnp.int32) - down.astype(jnp.int32)
-                # Perpendicular distance where the projection falls on the
-                # segment.
-                t = (dx * rx + dy * ry) * inv_len2
-                perp2 = cross * cross * inv_len2
-                seg_ok = (t >= 0.0) & (t <= 1.0)
-                d2_ref[:] = jnp.minimum(
-                    d2_ref[:], jnp.where(seg_ok, perp2, _INF)
-                )
-
-        return 0
-
-    lax.fori_loop(0, edges_ref.shape[1], edge, 0)
-
-    inside = wn_ref[:] != 0
-    dist = jnp.sqrt(jnp.minimum(d2_ref[:], v2_ref[:]))
-    sdf = jnp.where(inside, -dist, dist)
-    aa_ref[:] = jnp.clip(0.5 - sdf, 0.0, 1.0)
-    in_ref[:] = inside.astype(jnp.float32)
-
-
-def _coverage_accumulate(
-    edges_ref, base, n_edges, px, py, wn_ref, d2_ref, v2_ref, max_edges=128
-):
-    """Shared per-primitive polygon scan: winding + segment/vertex distances
-    over edge slots [base, base + n_edges)."""
-
-    def edge(e, _):
-        if True:
-            ax = edges_ref[0, base + e]
-            ay = edges_ref[1, base + e]
-            bx = edges_ref[2, base + e]
-            by = edges_ref[3, base + e]
-            dx = bx - ax
-            dy = by - ay
-            len2 = dx * dx + dy * dy
-
-            rx = px - ax
-            ry = py - ay
-            v2_ref[:] = jnp.minimum(v2_ref[:], rx * rx + ry * ry)
-
-            @pl.when(len2 > 1e-12)
-            def _():
-                inv_len2 = 1.0 / len2
-                cross = dx * ry - dy * rx
-                up = (ay <= py) & (by > py) & (cross > 0)
-                down = (by <= py) & (ay > py) & (cross < 0)
-                wn_ref[:] = wn_ref[:] + up.astype(jnp.int32) - down.astype(jnp.int32)
-                t = (dx * rx + dy * ry) * inv_len2
-                perp2 = cross * cross * inv_len2
-                seg_ok = (t >= 0.0) & (t <= 1.0)
-                d2_ref[:] = jnp.minimum(d2_ref[:], jnp.where(seg_ok, perp2, _INF))
-
+        # Edge-parameter interval inside the cell's row slab (ascending).
+        r0 = (ylo - ay) * inv_dy
+        r1 = (ylo + 1.0 - ay) * inv_dy
+        ta = jnp.clip(jnp.minimum(r0, r1), 0.0, 1.0)
+        tb = jnp.clip(jnp.maximum(r0, r1), 0.0, 1.0)
+        # Breakpoints where x(t) crosses the cell's x-faces.
+        s0 = (xlo - ax) * inv_dx
+        s1 = (xlo + 1.0 - ax) * inv_dx
+        p = jnp.clip(jnp.minimum(s0, s1), ta, tb)
+        q = jnp.clip(jnp.maximum(s0, s1), ta, tb)
+        # g(t) = clamp(x(t) - xlo, 0, 1): constant outside [p, q], linear in.
+        ga = jnp.clip(ax + ta * dx - xlo, 0.0, 1.0)
+        gp = jnp.clip(ax + p * dx - xlo, 0.0, 1.0)
+        gq = jnp.clip(ax + q * dx - xlo, 0.0, 1.0)
+        gb = jnp.clip(ax + tb * dx - xlo, 0.0, 1.0)
+        integral = ga * (p - ta) + 0.5 * (gp + gq) * (q - p) + gb * (tb - q)
+        area_ref[:] = area_ref[:] + dy * integral
         return 0
 
     # Dynamic trip count: culls padding AND avoids Mosaic unrolling a
@@ -123,14 +71,24 @@ def _coverage_accumulate(
     lax.fori_loop(0, n_edges, edge, 0)
 
 
+def _kernel(edges_ref, n_ref, px_ref, py_ref, aa_ref, in_ref, area_ref):
+    px = px_ref[:]
+    py = py_ref[:]
+    area_ref[:] = jnp.zeros_like(area_ref)
+    _area_accumulate(edges_ref, 0, n_ref[0], px, py, area_ref)
+    area = jnp.abs(area_ref[:])
+    aa_ref[:] = jnp.minimum(area, 1.0)
+    in_ref[:] = (area >= 0.5).astype(jnp.float32)
+
+
 def _make_object_window_kernel(wh, ww, use_aa, emit_flow, max_comps, max_edges):
     """Kernel factory: full per-object window pass for one frame.
 
-    Loops the object's primitives (polygon scan or analytic ellipse),
-    accumulates the composite screen algebra, then alpha-blends the texture
-    window and (optionally) overwrites flow where the binary mask fully covers
-    — i.e. everything the renderer's f0/f1 branches did with ~10 XLA ops,
-    fused into one Mosaic kernel."""
+    Loops the object's primitives (exact-area polygon scan or analytic
+    ellipse), accumulates the composite screen algebra, then alpha-blends the
+    texture window and (optionally) overwrites flow where the binary mask
+    fully covers — i.e. everything the renderer's f0/f1 branches did with ~10
+    XLA ops, fused into one Mosaic kernel."""
 
     def kernel(
         meta_ref,      # SMEM i32: [n_prims, x0, y0, additive*C, is_poly*C, n_edges*C]
@@ -142,7 +100,7 @@ def _make_object_window_kernel(wh, ww, use_aa, emit_flow, max_comps, max_edges):
         flow_ref,      # VMEM (2, wh, ww) (ignored when not emit_flow)
         frame_out,
         flow_out,
-        acc_aa, acc_in, wn_ref, d2_ref, v2_ref,
+        acc_aa, acc_in, aa_t, in_t, area_ref,
     ):
         n_prims = meta_ref[0]
         x0 = meta_ref[1]
@@ -167,24 +125,20 @@ def _make_object_window_kernel(wh, ww, use_aa, emit_flow, max_comps, max_edges):
             if True:
                 is_poly = meta_ref[3 + max_comps + c] != 0
 
-                wn_ref[:] = jnp.zeros_like(wn_ref)
-                d2_ref[:] = jnp.full_like(d2_ref, _INF)
-                v2_ref[:] = jnp.full_like(v2_ref, _INF)
+                area_ref[:] = jnp.zeros_like(area_ref)
 
                 @pl.when(is_poly)
                 def _():
-                    _coverage_accumulate(
+                    _area_accumulate(
                         edges_ref, c * max_edges, meta_ref[3 + 2 * max_comps + c],
-                        cx, cy, wn_ref, d2_ref, v2_ref, max_edges=max_edges,
+                        cx, cy, area_ref,
                     )
 
                 @pl.when(is_poly)
                 def _():
-                    inside = wn_ref[:] != 0
-                    dist = jnp.sqrt(jnp.minimum(d2_ref[:], v2_ref[:]))
-                    sdf = jnp.where(inside, -dist, dist)
-                    d2_ref[:] = jnp.clip(0.5 - sdf, 0.0, 1.0)  # reuse as aa
-                    wn_ref[:] = inside.astype(jnp.int32)
+                    area = jnp.abs(area_ref[:])
+                    aa_t[:] = jnp.minimum(area, 1.0)
+                    in_t[:] = (area >= 0.5).astype(jnp.int32)
 
                 @pl.when(jnp.logical_not(is_poly))
                 def _():
@@ -206,14 +160,14 @@ def _make_object_window_kernel(wh, ww, use_aa, emit_flow, max_comps, max_edges):
                     gy = (i01 / rx_e) * (ux / safe_r) + (i11 / ry_e) * (uy / safe_r)
                     gnorm = jnp.sqrt(gx * gx + gy * gy)
                     sdf = (r - 1.0) / jnp.maximum(gnorm, 1e-9)
-                    d2_ref[:] = jnp.clip(0.5 - sdf, 0.0, 1.0)
-                    wn_ref[:] = inside.astype(jnp.int32)
+                    aa_t[:] = jnp.clip(0.5 - sdf, 0.0, 1.0)
+                    in_t[:] = inside.astype(jnp.int32)
 
                 # Ordered composite screen algebra (cpp:591-646). Keep the
                 # binary accumulator in i32 — Mosaic cannot select i1 vectors.
                 additive = meta_ref[3 + c] != 0
-                aa = d2_ref[:]
-                ins = wn_ref[:]  # 0/1 int32
+                aa = aa_t[:]
+                ins = in_t[:]  # 0/1 int32
                 a_aa = 1.0 - (1.0 - acc_aa[:]) * (1.0 - aa)
                 a_in = jnp.maximum(acc_in[:], ins)
                 s_aa = acc_aa[:] * (1.0 - aa)
@@ -296,8 +250,8 @@ def object_window_pallas(
         scratch_shapes=[
             pltpu.VMEM(scr, jnp.float32),
             pltpu.VMEM(scr, jnp.int32),
-            pltpu.VMEM(scr, jnp.int32),
             pltpu.VMEM(scr, jnp.float32),
+            pltpu.VMEM(scr, jnp.int32),
             pltpu.VMEM(scr, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -351,8 +305,6 @@ def polygon_coverage_pallas(edge_pts, n_edges, px, py, interpret=False):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM(shape, jnp.int32),
-            pltpu.VMEM(shape, jnp.float32),
             pltpu.VMEM(shape, jnp.float32),
         ],
         interpret=interpret,

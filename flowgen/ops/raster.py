@@ -2,46 +2,46 @@
 
 The reference rasterizes every shape with AGG's scanline engine
 (``rasterizer_scanline_aa`` + ``scanline_u8``, MovingObjectBase::draw,
-src/caffe/DataGenerator.cpp:351-368): anti-aliased coverage with
-``gamma_none``, and a binary mask via ``gamma_threshold(0.5)``. Scanlines are
-inherently sequential; on TPU we instead evaluate coverage *per pixel over the
-whole frame* in one fused dispatch:
+src/caffe/DataGenerator.cpp:351-368): anti-aliased **exact-area** coverage
+with ``gamma_none``, and a binary mask via ``gamma_threshold(0.5)`` — i.e. the
+binary mask keeps pixels with >= 50% area coverage. Scanlines are inherently
+sequential; on TPU we instead evaluate coverage *per pixel over the whole
+frame* in one fused dispatch, computing the same exact area analytically:
 
-* **binary (non-AA) coverage** — exact nonzero-winding inside test at pixel
-  centers. AGG's thresholded mask keeps pixels with >=50% area coverage; the
-  pixel-center rule agrees except on a measure-zero set of boundary pixels.
-  This mask drives the index image and therefore the ground-truth flow
-  (RenderCore::blitObject, cpp:762-774), so it must be crisp — and it is exact.
-* **anti-aliased coverage** — signed-distance approximation:
-  ``clamp(0.5 - sdf, 0, 1)``, with the distance taken to the nearest outline
-  segment. This matches AGG's exact-area coverage to within a few percent on
-  straight edges (a linear ramp vs exact trapezoid area) and only feeds *image*
-  compositing, never flow.
+* **anti-aliased coverage** — exact polygon-area-in-cell via Green's theorem:
+  for pixel cell C, ``area = ∮ clamp(x, C) dy`` accumulated per edge with the
+  edge clipped to C's row slab. Every per-edge contribution is a closed-form
+  integral of a clamped linear function, so the whole thing is branch-free
+  FMA/min/max work — no scanlines, no sorting, and it matches AGG's
+  scanline-accumulated cell areas exactly (up to f32 rounding and AGG's 1/256
+  subpixel quantization).
+* **binary (non-AA) coverage** — ``area >= 0.5``, which is literally AGG's
+  ``gamma_threshold(0.5)`` applied to the exact coverage. This mask drives the
+  index image and therefore the ground-truth flow (RenderCore::blitObject,
+  cpp:762-774).
+
+Nonzero-winding semantics fall out for free: contributions are signed by the
+edge direction, so a doubly-wound region accumulates area 2 and clips to 1,
+and opposite windings cancel — exactly AGG's ``fill_non_zero`` alpha rule.
 
 Polygons arrive pre-flattened to ``MAX_EDGES`` points (see
 params/sampler.flatten_outline). Ellipses are handled analytically in closed
-form — strictly more accurate than the reference, which approximates them as
-100-gons (agg::ellipse with 100 steps, cpp:1080).
+form via a signed-distance ramp — the reference approximates them as 100-gons
+(agg::ellipse with 100 steps, cpp:1080) and then area-rasterizes those; for
+well-conditioned ellipses the two agree to a few percent on edge pixels only.
+Thin "needle" ellipses (whose sub-pixel width an SDF ramp cannot measure) are
+flattened to the reference's literal 100-gon at sampling time and take the
+exact-area polygon path (params/sampler.py).
 
 All functions return ``(aa, inside)`` where ``aa`` is float coverage in [0,1]
-and ``inside`` the exact binary mask, both shaped like the pixel grid.
+and ``inside`` the binary mask, both shaped like the pixel grid.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from . import affine
-
-# Edge-coefficient contractions carry pixel coordinates (magnitude ~1e3) and
-# need sub-pixel accuracy; TPU default matmul precision (one bf16 pass) would
-# introduce multi-pixel error, so force full f32 accumulation.
-_PRECISION = jax.lax.Precision.HIGHEST
-
-
-def _matmul(a, b):
-    return jnp.matmul(a, b, precision=_PRECISION)
 
 
 def pixel_grid(width, height, center_offset=0.5, dtype=jnp.float32):
@@ -55,74 +55,74 @@ def pixel_grid(width, height, center_offset=0.5, dtype=jnp.float32):
     return px, py
 
 
+def edge_cell_area(ax, ay, bx, by, px, py):
+    """Signed area contribution of edge (a -> b) to the unit pixel cell
+    centered at (px, py), i.e. ``∮ (clamp(x, cell) - x_lo) dy`` along the part
+    of the edge inside the cell's row slab.
+
+    Broadcasts: edge endpoints and pixel coordinates combine by normal
+    broadcasting rules. Summed over a *closed* outline this yields the exact
+    signed polygon area inside the cell (Green's theorem; the ``- x_lo`` shift
+    is free because a closed outline's slab-clipped dy-sum is zero, and keeps
+    every factor in [-1, 1] for f32 health).
+    """
+    dx = bx - ax
+    dy = by - ay
+    inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, 0.0)
+    inv_dx = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, 0.0)
+
+    xlo = px - 0.5
+    ylo = py - 0.5
+    yhi = py + 0.5
+
+    # Edge-parameter interval [ta, tb] inside the row slab (ascending).
+    r0 = (ylo - ay) * inv_dy
+    r1 = (yhi - ay) * inv_dy
+    ta = jnp.clip(jnp.minimum(r0, r1), 0.0, 1.0)
+    tb = jnp.clip(jnp.maximum(r0, r1), 0.0, 1.0)
+
+    # Breakpoints where x(t) crosses the cell's x-faces.
+    s0 = (xlo - ax) * inv_dx
+    s1 = (xlo + 1.0 - ax) * inv_dx
+    p = jnp.clip(jnp.minimum(s0, s1), ta, tb)
+    q = jnp.clip(jnp.maximum(s0, s1), ta, tb)
+
+    # g(t) = clamp(x(t) - xlo, 0, 1): constant on [ta,p] and [q,tb], linear
+    # (unclamped) on [p,q].
+    def g(t):
+        return jnp.clip(ax + t * dx - xlo, 0.0, 1.0)
+
+    integral = (
+        g(ta) * (p - ta)
+        + 0.5 * (g(p) + g(q)) * (q - p)
+        + g(tb) * (tb - q)
+    )
+    return dy * integral
+
+
 def polygon_coverage(edge_pts, px, py):
     """Coverage of a closed polyline against a pixel grid.
 
     ``edge_pts``: (E, 2) closed outline (edge e runs points e -> e+1 mod E;
-    repeated points are inert). ``px``/``py``: (H, W) sample positions.
+    repeated points are inert). ``px``/``py``: (H, W) pixel-center positions;
+    each pixel's cell is the unit square centered there.
 
     Returns (aa, inside):
-      inside — nonzero-winding test (AGG default fill rule) at the samples.
-      aa     — clamp(0.5 - signed_distance_to_outline, 0, 1).
-
-    Implementation: for each edge, the signed perpendicular line distance and
-    the segment parameter are *linear* in (px, py), so both are evaluated as a
-    single [HW, 3] x [3, 2E] contraction, followed by cheap elementwise winding
-    and min-distance reductions over the edge axis. XLA fuses the lot.
+      aa     — exact area fraction of the cell covered (nonzero winding),
+               clipped to [0, 1]: AGG's scanline_u8 coverage with gamma_none.
+      inside — aa >= 0.5: AGG's gamma_threshold(0.5) binary mask.
     """
     a = edge_pts
     b = jnp.roll(edge_pts, -1, axis=0)
-    d = b - a
-    len2 = jnp.sum(d * d, axis=-1)
-    degenerate = len2 < 1e-12
-    inv_len = jnp.where(degenerate, 0.0, 1.0 / jnp.sqrt(jnp.maximum(len2, 1e-12)))
-    inv_len2 = inv_len * inv_len
-
-    # cross(p) = d.x*(py - a.y) - d.y*(px - a.x): rows [c_px, c_py, c_1].
-    perp_coef = jnp.stack(
-        [-d[:, 1], d[:, 0], d[:, 1] * a[:, 0] - d[:, 0] * a[:, 1]], axis=0
-    ) * inv_len[None, :]
-    # t(p)*len2 = (p - a) . d: rows [d.x, d.y, -a.d].
-    t_coef = jnp.stack(
-        [d[:, 0], d[:, 1], -(a[:, 0] * d[:, 0] + a[:, 1] * d[:, 1])], axis=0
-    ) * inv_len2[None, :]
-
     shape = px.shape
-    p_aug = jnp.stack([px.ravel(), py.ravel(), jnp.ones_like(px).ravel()], axis=-1)
-    coefs = jnp.concatenate([perp_coef, t_coef], axis=1)  # (3, 2E)
-    res = _matmul(p_aug, coefs)                           # (HW, 2E)
-    E = a.shape[0]
-    perp = res[:, :E]
-    t = res[:, E:]
-
-    # Nonzero-winding accumulation via the standard crossing rule: an upward
-    # edge (a.y <= y < b.y) with the point strictly left (perp > 0) adds +1,
-    # a downward edge with the point right adds -1.
-    pyf = p_aug[:, 1:2]
-    ay = a[None, :, 1]
-    by = b[None, :, 1]
-    up = (ay <= pyf) & (by > pyf) & (perp > 0)
-    down = (by <= pyf) & (ay > pyf) & (perp < 0)
-    winding = jnp.sum(up.astype(jnp.int32) - down.astype(jnp.int32), axis=-1)
-    inside = winding != 0
-
-    # Distance to the outline: min over segment-interior perpendiculars and
-    # vertex distances. (When t falls outside [0,1] the true segment distance
-    # is an endpoint distance, which the vertex minimum covers.)
-    seg_ok = (t >= 0.0) & (t <= 1.0) & ~degenerate[None, :]
-    perp_d = jnp.where(seg_ok, jnp.abs(perp), jnp.inf)
-    # Vertex distance via |p - a|^2 expansion (shares the matmul inputs).
-    va = (
-        jnp.sum(p_aug[:, :2] ** 2, axis=-1, keepdims=True)
-        - 2.0 * _matmul(p_aug[:, :2], a.T)
-        + jnp.sum(a * a, axis=-1)[None, :]
+    pxf = px.reshape(-1, 1)
+    pyf = py.reshape(-1, 1)
+    contrib = edge_cell_area(
+        a[None, :, 0], a[None, :, 1], b[None, :, 0], b[None, :, 1], pxf, pyf
     )
-    vert_d = jnp.sqrt(jnp.maximum(jnp.min(va, axis=-1), 0.0))
-    dist = jnp.minimum(jnp.min(perp_d, axis=-1), vert_d)
-
-    sdf = jnp.where(inside, -dist, dist)
-    aa = jnp.clip(0.5 - sdf, 0.0, 1.0)
-    return aa.reshape(shape), inside.reshape(shape)
+    area = jnp.abs(jnp.sum(contrib, axis=-1))
+    aa = jnp.clip(area, 0.0, 1.0)
+    return aa.reshape(shape), (area >= 0.5).reshape(shape)
 
 
 def ellipse_coverage(transform, rx, ry, px, py):
@@ -131,9 +131,11 @@ def ellipse_coverage(transform, rx, ry, px, py):
 
     The reference draws ellipses as 100-step polygons (agg::ellipse,
     MovingObjectEllipse::renderMasks, cpp:459-479); the analytic conic is the
-    exact limit of that approximation. Inside test: |S^-1 p| <= 1 where S maps
-    the unit circle to the screen-space ellipse. AA distance: first-order
-    estimate (|u| - 1) / |J^-T u_hat| which is exact on the boundary normal.
+    smooth limit of that approximation. Inside test: |S^-1 p| <= 1 where S maps
+    the unit circle to the screen-space ellipse. AA: a signed-distance ramp,
+    first-order estimate (|u| - 1) / |grad|, which matches exact area to a few
+    percent on edge pixels of well-conditioned ellipses (thin needles take the
+    exact polygon path instead — see params/sampler.py).
     """
     inv = affine.invert(transform)
     ux = (inv[0, 0] * px + inv[0, 1] * py + inv[0, 2]) / rx

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..config import (
     EDGE_SUBDIV,
+    ELLIPSE_STEPS,
     KIND_COMPOSITE,
     KIND_ELLIPSE,
     KIND_POLYGON,
@@ -360,6 +361,23 @@ def sample_scene(
         simple_pts = s_pts * jnp.where(
             needle, jnp.array([spec.thin_shrink, 1.0]), jnp.array([1.0, 1.0])
         )
+        # Thin needle ellipses flatten to AGG's literal 100-gon (agg::ellipse
+        # with 100 steps, cpp:1080) and take the exact-area polygon path: the
+        # analytic SDF ramp cannot measure the area of a sub-pixel-wide shape
+        # (ops/raster.py). Fat ellipses keep the cheap closed form.
+        ell_needle = needle & (obj_kind == KIND_ELLIPSE)
+        ang = jnp.arange(ELLIPSE_STEPS, dtype=jnp.float32) * (
+            2.0 * jnp.pi / ELLIPSE_STEPS
+        )
+        gon = jnp.stack(
+            [jnp.cos(ang) * (s_rx * spec.thin_shrink), jnp.sin(ang) * s_ry], -1
+        )
+        gon = jnp.concatenate(
+            [gon, jnp.broadcast_to(gon[:1], (MAX_EDGES - ELLIPSE_STEPS, 2))], 0
+        )
+        simple_pts = jnp.where(ell_needle, gon, simple_pts)
+        simple_ne = jnp.where(ell_needle, ELLIPSE_STEPS, s_ne)
+        simple_poly = (obj_kind == KIND_POLYGON) | ell_needle
 
         # --- Merge the three layouts ---
         def pick(simple, thin_v, reg_v):
@@ -369,7 +387,11 @@ def sample_scene(
 
         prim_valid = pick(simple_valid, thin_valid, reg_valid) & valid[k]
         prim_add = pick(jnp.ones((C,), bool), thin_add, reg_add)
-        prim_kind = pick(jnp.broadcast_to(obj_kind, (C,)), thin_kind, c_kind)
+        prim_is_poly = pick(
+            jnp.broadcast_to(simple_poly, (C,)),
+            thin_kind == KIND_POLYGON,
+            c_kind == KIND_POLYGON,
+        )
         prim_rx = pick(jnp.broadcast_to(simple_rx, (C,)), thin_rx, reg_rx)
         prim_ry = pick(jnp.broadcast_to(s_ry, (C,)), thin_ry, reg_ry)
         prim_rot = pick(jnp.broadcast_to(init_rot, (C,)), thin_rot, reg_rot)
@@ -383,13 +405,13 @@ def sample_scene(
         # Scaling never changes point counts: component slots inherit their
         # own counts; the thin "outline" pair reuses component 0's.
         prim_ne = pick(
-            jnp.broadcast_to(s_ne, (C,)), jnp.broadcast_to(c_ne[0], (C,)), c_ne
+            jnp.broadcast_to(simple_ne, (C,)), jnp.broadcast_to(c_ne[0], (C,)), c_ne
         )
         prim_intrinsic = affine.intrinsic_transform(prim_rot, prim_tx, prim_ty)
 
         return (
             tex_id, motion, warp, warp_slot,
-            prim_valid, prim_add, prim_kind == KIND_POLYGON,
+            prim_valid, prim_add, prim_is_poly,
             prim_intrinsic, prim_rx, prim_ry, prim_pts, prim_ne,
         )
 

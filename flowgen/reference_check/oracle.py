@@ -88,27 +88,44 @@ def polygon_inside(pts, px, py):
 
 
 def polygon_aa(pts, px, py):
-    """Signed-distance AA coverage, matching ops/raster.polygon_coverage."""
-    inside = polygon_inside(pts, px, py)
-    d = np.full(px.shape, np.inf)
+    """Exact-area AA coverage + >=50%-area binary mask — AGG's scanline_u8
+    accumulation with gamma_none (AA) / gamma_threshold(0.5) (binary),
+    MovingObjectBase::draw cpp:351-368. Per edge, Green's theorem with the
+    edge clipped to each unit cell's row slab; cells are centered at (px, py).
+    """
+    area = np.zeros(px.shape)
     n = len(pts)
-    p = np.stack([px, py], -1)
+    xlo = px - 0.5
+    ylo = py - 0.5
     for i in range(n):
         a = pts[i]
         b = pts[(i + 1) % n]
-        ab = b - a
-        len2 = ab @ ab
-        if len2 < 1e-12:
-            d = np.minimum(d, np.linalg.norm(p - a, axis=-1))
-            continue
-        t = np.clip(((p - a) @ ab) / len2, 0.0, 1.0)
-        proj = a + t[..., None] * ab
-        d = np.minimum(d, np.linalg.norm(p - proj, axis=-1))
-    sdf = np.where(inside, -d, d)
-    return np.clip(0.5 - sdf, 0.0, 1.0), inside
+        dx = float(b[0] - a[0])
+        dy = float(b[1] - a[1])
+        inv_dy = 1.0 / dy if abs(dy) > 1e-12 else 0.0
+        inv_dx = 1.0 / dx if abs(dx) > 1e-12 else 0.0
+        r0 = (ylo - a[1]) * inv_dy
+        r1 = (ylo + 1.0 - a[1]) * inv_dy
+        ta = np.clip(np.minimum(r0, r1), 0.0, 1.0)
+        tb = np.clip(np.maximum(r0, r1), 0.0, 1.0)
+        s0 = (xlo - a[0]) * inv_dx
+        s1 = (xlo + 1.0 - a[0]) * inv_dx
+        p = np.clip(np.minimum(s0, s1), ta, tb)
+        q = np.clip(np.maximum(s0, s1), ta, tb)
+
+        def g(t):
+            return np.clip(a[0] + t * dx - xlo, 0.0, 1.0)
+
+        integral = (
+            g(ta) * (p - ta) + 0.5 * (g(p) + g(q)) * (q - p) + g(tb) * (tb - q)
+        )
+        area += dy * integral
+    area = np.abs(area)
+    return np.clip(area, 0.0, 1.0), area >= 0.5
 
 
-def ellipse_polygon(rx, ry, steps=256):
+def ellipse_polygon(rx, ry, steps=100):
+    """agg::ellipse flattening; the reference uses 100 steps (cpp:1080)."""
     ang = np.linspace(0, 2 * np.pi, steps, endpoint=False)
     return np.stack([rx * np.cos(ang), ry * np.sin(ang)], -1)
 

@@ -17,10 +17,8 @@ def _compare(pts, n_edges, w=128, h=32):
         pts, jnp.int32(n_edges), px, py, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(inside), np.asarray(ref_in))
-    # The XLA path computes vertex distances via the |p|^2 - 2 a.p + |a|^2
-    # matmul expansion, which cancels catastrophically compared to the
-    # kernel's direct (p - a)^2; allow for that on AA edge pixels.
-    np.testing.assert_allclose(np.asarray(aa), np.asarray(ref_aa), atol=5e-3)
+    # Identical math up to FMA association order.
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(ref_aa), atol=1e-5)
 
 
 def test_square_matches_reference():
