@@ -1,0 +1,269 @@
+"""Fused batch rendering: XLA precompute feeding the scene megakernel.
+
+This path replaces :func:`flowgen.compose.render.render_batch`'s per-object
+XLA dispatch loop with ONE Mosaic program per sample
+(flowgen/ops/pallas_scene.py). The division of labor:
+
+* XLA (this module, all dense/vmapped): the background pass (quad-gather
+  frames + analytic flow, render.background_pass), per-object screen bboxes
+  and painter-order compaction, window-tile grids with ownership rects,
+  screen-space edge tables, ellipse inverse transforms, and the per-tile
+  two-pass resample coefficients with the reflect fold composed in.
+* Mosaic: everything per-pixel — coverage, composite algebra, texture
+  unpack/resample, blending, flow overwrite.
+
+Semantics match the windowed XLA path (render.render_sample) exactly for
+coverage/binary masks/flow; frame-1 textures use the banded two-pass
+resampler, whose only deviation from true bilinear is interpolation along the
+shear direction (see ops/pallas_resample.py — sub-level, same order as the
+reference's own multi-resample blur).
+
+Eligibility is static per (mode, frame dims): ``pallas_scene.fused_eligible``
+— no nonrigid warps (mode 9) and a total-rotation envelope < 45 deg (modes
+11/13 exceed it). Ineligible configs fall back to render.render_batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MAX_COMPONENTS, MAX_EDGES, DataGenConfig
+from ..ops import affine
+from ..ops import pallas_scene as ps
+from ..params.blueprint import Scene
+from . import render as render_mod
+
+EDGE_POOL = ((MAX_COMPONENTS * MAX_EDGES + 127) // 128) * 128  # 896
+MAX_TILES_AXIS = 3
+
+
+def _cdiv(a, b):
+    return (a + b - 1) // b
+
+
+def _tile_grid(lo, hi, on, frame_dim, win, snap):
+    """Per-object tile grid along one axis. ``lo``/``hi``: [K] bbox bounds,
+    ``win``: tile extent, ``snap``: alignment (8 sublanes / 128 lanes).
+    Returns (anchor, n_tiles) int32 [K]."""
+    margin = render_mod.AA_MARGIN + 1.0
+    cov_lo = jnp.clip(jnp.floor(lo - margin), 0, frame_dim).astype(jnp.int32)
+    cov_hi = jnp.clip(jnp.ceil(hi + margin) + 1, 0, frame_dim).astype(jnp.int32)
+    anchor = cov_lo & ~(snap - 1)
+    n = jnp.clip(_cdiv(cov_hi - anchor, win), 1, MAX_TILES_AXIS)
+    return anchor, jnp.where(on, n, 0)
+
+
+def _edge_table(tr, prims):
+    """Screen-space edge endpoints for every primitive slot under transforms
+    ``tr`` [K,C,2,3]: (K, 4, EDGE_POOL) f32, rows [ax, ay, bx, by]."""
+    pts = affine.apply(tr, prims.edge_pts)               # [K,C,E,2]
+    b = jnp.roll(pts, -1, axis=2)
+    K, C, E = pts.shape[0], pts.shape[1], pts.shape[2]
+    tab = jnp.stack(
+        [pts[..., 0], pts[..., 1], b[..., 0], b[..., 1]], axis=1
+    ).reshape(K, 4, C * E)
+    pad = EDGE_POOL - C * E
+    return jnp.pad(tab, ((0, 0), (0, 0), (0, pad)))
+
+
+def _ell_params(tr, prims):
+    """Per-primitive ellipse params [K, C*8]: inverse transform (6), rx, ry."""
+    inv = affine.invert(tr)                              # [K,C,2,3]
+    K, C = inv.shape[0], inv.shape[1]
+    return jnp.concatenate(
+        [
+            inv.reshape(K, C, 6),
+            prims.ell_rx[..., None],
+            prims.ell_ry[..., None],
+        ],
+        axis=-1,
+    ).reshape(K, C * 8)
+
+
+def _fold_coeffs(motion_inv, cx, cy, H, W, margin):
+    """Two-pass resample coefficients for windows centered at (cx, cy) [K,T],
+    sampling the texture crop through ``motion_inv`` [K,2,3] with AGG reflect
+    wrap folded in (period 2W x 2H; the fold at the footprint center is a
+    translation or mirror per axis — both affine — composed into the
+    output->slab map; see ops/pallas_scene.py docstring)."""
+    m = motion_inv[:, None]                              # [K,1,2,3]
+    scx = m[..., 0, 0] * cx + m[..., 0, 1] * cy + m[..., 0, 2]   # [K,T]
+    scy = m[..., 1, 0] * cx + m[..., 1, 1] * cy + m[..., 1, 2]
+
+    def fold(s_c, n):
+        r = jnp.mod(s_c, 2.0 * n)
+        mirror = r >= n
+        off = s_c - r
+        sigma = jnp.where(mirror, -1.0, 1.0)
+        beta = jnp.where(mirror, 2.0 * n - 1.0 + off, -off) + margin
+        return sigma, beta
+
+    sx, bx = fold(scx, float(W))
+    sy, by = fold(scy, float(H))
+    a = m[..., 0, 0] * sx
+    bb = m[..., 0, 1] * sx
+    e = m[..., 0, 2] * sx + bx
+    c = m[..., 1, 0] * sy
+    d = m[..., 1, 1] * sy
+    f = m[..., 1, 2] * sy + by
+    # two_pass_coeffs, vectorized (ops/pallas_resample.py:94-102).
+    B_ = bb / d
+    A = a - B_ * c
+    C_ = e - B_ * f
+    return jnp.stack([A, B_, C_, c, d, f], axis=-1)      # [K,T,6]
+
+
+def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
+    """Build one sample's megakernel operands (vmap over the batch)."""
+    H, W = cfg.height, cfg.width
+    wh, ww = min(ps.WIN_H, H), min(ps.WIN_W, W)
+    prims, objs = scene.prims, scene.objects
+    K, C = prims.valid.shape
+
+    (lo0, hi0), (lo1, hi1) = render_mod._all_bboxes(prims, objs.motion)
+    n_prims = jnp.sum(prims.valid, axis=1).astype(jnp.int32)
+    on0 = objs.valid & ~render_mod._offscreen(
+        lo0, hi0, render_mod.AA_MARGIN, H, W
+    )
+    on1 = objs.valid & ~render_mod._offscreen(
+        lo1, hi1, render_mod.AA_MARGIN, H, W
+    )
+    process = on0 | on1
+    order = jnp.argsort(~process, stable=True).astype(jnp.int32)
+    count = jnp.sum(process).astype(jnp.int32)
+
+    # --- tile grids (both frames) ---
+    def tiles(lo, hi, on):
+        ay, nty = _tile_grid(lo[:, 1], hi[:, 1], on, H, wh, 8)
+        ax, ntx = _tile_grid(lo[:, 0], hi[:, 0], on, W, ww, 128)
+        t = jnp.arange(ps.MAX_TILES)
+        ty = t[None, :] // jnp.maximum(ntx, 1)[:, None]   # [K,T]
+        tx = t[None, :] % jnp.maximum(ntx, 1)[:, None]
+        oy0 = ay[:, None] + ty * wh
+        ox0 = ax[:, None] + tx * ww
+        y0 = jnp.clip(oy0, 0, H - wh)
+        x0 = jnp.clip(ox0, 0, W - ww)
+        tmi = jnp.stack(
+            [
+                y0, x0,
+                oy0, jnp.minimum(oy0 + wh, H),
+                ox0, jnp.minimum(ox0 + ww, W),
+                jnp.zeros_like(y0), jnp.zeros_like(y0),
+            ],
+            axis=-1,
+        ).astype(jnp.int32)                               # [K,T,8]
+        return tmi, nty, ntx
+
+    tmi0, nty0, ntx0 = tiles(lo0, hi0, on0)
+    tmi1, nty1, ntx1 = tiles(lo1, hi1, on1)
+    tmi = jnp.stack([tmi0, tmi1], axis=1)                 # [K,2,T,8]
+
+    # --- per-object meta ---
+    add_bits = jnp.sum(
+        prims.additive.astype(jnp.int32) << jnp.arange(C)[None, :], axis=1
+    )
+    poly_bits = jnp.sum(
+        prims.is_poly.astype(jnp.int32) << jnp.arange(C)[None, :], axis=1
+    )
+    tex_id = objs.tex_id % n_textures
+    zeros = jnp.zeros_like(tex_id)
+
+    def omi_frame(on, nty, ntx):
+        cols = [
+            on.astype(jnp.int32), nty, ntx, tex_id,
+            n_prims, add_bits, poly_bits, zeros,
+        ]
+        cols += [prims.n_edges[:, c].astype(jnp.int32) for c in range(C)]
+        cols += [zeros] * (ps.OMI_SIZE - len(cols))
+        return jnp.stack(cols, axis=-1)                   # [K,OMI_SIZE]
+
+    omi = jnp.stack(
+        [omi_frame(on0, nty0, ntx0), omi_frame(on1, nty1, ntx1)], axis=1
+    ).astype(jnp.int32)                                   # [K,2,OMI_SIZE]
+
+    # --- per-object float meta + edges ---
+    intr = prims.intrinsic                                # [K,C,2,3]
+    tr0 = jnp.broadcast_to(intr, intr.shape)
+    tr1 = affine.compose(intr, objs.motion[:, None])
+
+    def omf_frame(motion, tr):
+        mot = motion.reshape(K, 6)
+        pad = jnp.zeros((K, ps.OMF_ELL - 6))
+        ell = _ell_params(tr, prims)
+        tail = jnp.zeros((K, ps.OMF_SIZE - ps.OMF_ELL - ell.shape[1]))
+        return jnp.concatenate([mot, pad, ell, tail], axis=-1)
+
+    omf = jnp.stack(
+        [omf_frame(objs.motion, tr0), omf_frame(objs.motion_inv, tr1)], axis=1
+    ).astype(jnp.float32)                                 # [K,2,OMF_SIZE]
+
+    edges = jnp.stack([_edge_table(tr0, prims), _edge_table(tr1, prims)],
+                      axis=1).astype(jnp.float32)         # [K,2,4,EP]
+
+    # --- frame-1 resample coefficients per tile, reflect fold composed ---
+    ctrx = tmi1[..., ps.TMI_X0].astype(jnp.float32) + ww / 2.0   # [K,T]
+    ctry = tmi1[..., ps.TMI_Y0].astype(jnp.float32) + wh / 2.0
+    coef1 = _fold_coeffs(
+        objs.motion_inv, ctrx, ctry, H, W, float(ps.SLAB_MARGIN)
+    )                                                     # [K,T,6]
+    tmf1 = jnp.pad(coef1, ((0, 0), (0, 0), (0, ps.TMF_SIZE - 6)))
+    tmf = jnp.stack([jnp.zeros_like(tmf1), tmf1], axis=1) # [K,2,T,8]
+
+    return count, order, omi, omf, tmi, tmf.astype(jnp.float32), edges
+
+
+def render_batch_fused(scenes: Scene, quad_atlas, slabs, cfg: DataGenConfig,
+                       interpret: bool = False):
+    """Fused render of a batch: background in XLA, object pass in the scene
+    megakernel. Output signature matches render.render_batch."""
+    H, W = cfg.height, cfg.width
+    B = scenes.n_objects.shape[0]
+    spec = cfg.mode_spec
+
+    # lax.map, not vmap: under vmap the per-sample texture gathers read from
+    # the full stacked atlas table, which measures ~3x slower per row than
+    # gathers from one texture's table (HBM random-access latency dominates
+    # large tables); map keeps the old path's per-sample slice + small-table
+    # gather behavior.
+    f0, f1, fx, fy, ifx, ify = jax.lax.map(
+        lambda s: render_mod.background_pass(s, quad_atlas, cfg), scenes
+    )
+    from ..ops.pallas_resample import pack_rgb_i32
+
+    bgf = jnp.stack([pack_rgb_i32(f0), pack_rgb_i32(f1)], axis=1)
+    if cfg.compute_inverse_flow:
+        flow_init = jnp.stack([fx, fy, ifx, ify], axis=1)
+    else:
+        flow_init = jnp.stack([fx, fy], axis=1)
+
+    count, order, omi, omf, tmi, tmf, edges = jax.vmap(
+        lambda s: prepare_scene_inputs(s, cfg, slabs.shape[0])
+    )(scenes)
+
+    P, xs, ys = ps.resample_params(spec, H, W)
+    frames, flow = ps.scene_render_pallas(
+        count, order, omi, omf, tmi, tmf, edges,
+        slabs, bgf, flow_init,
+        spec_key=(P, xs, ys, H, W),
+        use_aa=cfg.use_antialiasing,
+        inverse_flow=cfg.compute_inverse_flow,
+        interpret=interpret,
+    )
+
+    def unpack(v):
+        return jnp.stack(
+            [
+                ((v >> 16) & 0xFF).astype(jnp.float32),
+                ((v >> 8) & 0xFF).astype(jnp.float32),
+                (v & 0xFF).astype(jnp.float32),
+            ],
+            axis=-1,
+        )
+
+    image0 = unpack(frames[:, 0])
+    image1 = unpack(frames[:, 1])
+    flow0 = jnp.moveaxis(flow[:, 0:2], 1, -1)
+    if cfg.compute_inverse_flow:
+        return image0, image1, flow0, jnp.moveaxis(flow[:, 2:4], 1, -1)
+    return image0, image1, flow0

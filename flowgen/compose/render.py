@@ -257,28 +257,30 @@ def _frame_coverage(prims, k, motion_k, frame, px, py, n_prims_k, use_pallas):
     return lax.fori_loop(0, n_prims_k, component, acc)
 
 
-def render_sample(
-    scene: Scene,
-    atlas: jax.Array,
-    cfg: DataGenConfig,
-    warp_bank: Optional[WarpBank] = None,
-) -> RenderOutput:
-    """Render one scene blueprint into (image0, image1, flow) — the fused
-    equivalent of Process_TaskBucket (cpp:1175-1254). ``atlas`` is the
-    quad-packed uint8 atlas from :func:`prepare_atlas`."""
+def background_pass(scene: Scene, atlas: jax.Array, cfg: DataGenConfig,
+                    warp_bank: Optional[WarpBank] = None):
+    """Background frames + initial flow planes for one scene
+    (MovingObjectBackground, cpp:654-718). ``atlas`` is quad-packed.
+    Returns (frame0, frame1, flow_x, flow_y, iflow_x, iflow_y)."""
     H, W = cfg.height, cfg.width
     SH, SW = atlas.shape[1], atlas.shape[2]
-    use_pallas = _pallas_enabled(cfg)
     has_warp = warp_bank is not None and cfg.mode_spec.warp_p > 0.0
     ix, iy = raster.pixel_grid(W, H, 0.0)      # integer coords (flow/texture)
-
     cx, cy = W / 2.0, H / 2.0
     bg = scene.background
 
-    # ---- Background (MovingObjectBackground, cpp:654-718) ----
+    # Slice + barrier the sample's texture, then gather from the small table:
+    # gathers from the full stacked atlas run ~3x slower per row (HBM
+    # random-access latency grows with table size), so this function must be
+    # lax.map'ed over a batch, never vmapped (vmap would also turn the slice
+    # into a full per-sample texture materialization).
     src_quad = lax.optimization_barrier(
         lax.dynamic_index_in_dim(atlas, bg.tex_id % atlas.shape[0], 0, False)
     )
+
+    def bg_sample(x, y):
+        return texture.sample_bilinear_quad(src_quad, x, y, wrap="reflect")
+
     crop_t = texture.randomized_crop_transform(
         SH, SW, 2 * H, 2 * W,
         bg.tex_rot_deg, bg.tex_zoom, bg.tex_shift[0], bg.tex_shift[1],
@@ -292,7 +294,7 @@ def render_sample(
 
     qx, qy = ix + cx, iy + cy                  # big-texture coords of our pixels
     s0x, s0y = affine.apply_xy(crop_t, qx, qy)
-    frame0 = texture.sample_bilinear_quad(src_quad, s0x, s0y, wrap="reflect")
+    frame0 = bg_sample(s0x, s0y)
 
     if has_warp:
         bgf, bgi = _sample_warp_crop(warp_bank, bg.warp_slot)
@@ -312,7 +314,7 @@ def render_sample(
         wq_x, wq_y = qx, qy
     bx, by = affine.apply_xy(bg_big_inv, wq_x, wq_y)
     s1x, s1y = affine.apply_xy(crop_t, bx, by)
-    frame1 = texture.sample_bilinear_quad(src_quad, s1x, s1y, wrap="reflect")
+    frame1 = bg_sample(s1x, s1y)
 
     fqx, fqy = affine.apply_xy(bg_pixel_motion, ix, iy)
     flow_x = fqx - ix
@@ -336,6 +338,26 @@ def render_sample(
     else:
         iflow_x = jnp.zeros_like(flow_x)
         iflow_y = jnp.zeros_like(flow_y)
+    return frame0, frame1, flow_x, flow_y, iflow_x, iflow_y
+
+
+def render_sample(
+    scene: Scene,
+    atlas: jax.Array,
+    cfg: DataGenConfig,
+    warp_bank: Optional[WarpBank] = None,
+) -> RenderOutput:
+    """Render one scene blueprint into (image0, image1, flow) — the fused
+    equivalent of Process_TaskBucket (cpp:1175-1254). ``atlas`` is the
+    quad-packed uint8 atlas from :func:`prepare_atlas`."""
+    H, W = cfg.height, cfg.width
+    SH, SW = atlas.shape[1], atlas.shape[2]
+    use_pallas = _pallas_enabled(cfg)
+    has_warp = warp_bank is not None and cfg.mode_spec.warp_p > 0.0
+
+    frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = background_pass(
+        scene, atlas, cfg, warp_bank
+    )
 
     # Drop window classes that don't fit the configured frame (small frames
     # fall straight through to full-frame evaluation).

@@ -162,41 +162,43 @@ def _banded_tap_pair(block_at, idx0, idx1, n_tiles_scan: int, zero,
     return acc0, acc1
 
 
-def resample_affine_in_kernel(
-    slab_ref,          # ref (SHp, SWp) int32 packed RGB slab (VMEM)
-    coeffs,            # (A, B, C, c, d, f) traced scalars, slab coords
-    x0, y0,            # window origin in OUTPUT coords (traced scalars)
-    wh: int, ww: int,  # static window size; ww mult of 128, wh mult of 8
-    P: int,            # static pass-1 row count (max_row_span), mult of 8
-    rows_ref,          # VMEM scratch (P, SWp) int32 (pass-1 row block)
-    t1_ref,            # VMEM scratch (3, P, ww) f32
-    t1t_ref,           # VMEM scratch (ww, Pp) f32, Pp = round_up(P, 128)
-    outt_ref,          # VMEM scratch (ww, round_up(wh, 128)) f32
-    x_tiles_scan: int,  # scan_tiles_pass1(...)
-    y_tiles_scan: int,  # scan_tiles_pass2(..., xchunk=128)
-):
-    """Two-pass affine resample of a window from a packed slab. ``coeffs``
-    map output coords to SLAB coords (caller folds the reflect margins in).
-    Returns three (wh, ww) f32 channel planes. Callable from any kernel."""
-    A, B, C, c, d, f = coeffs
-    SHp, SWp = slab_ref.shape
-    Pp = t1t_ref.shape[1]
-    XCHUNK = 128 if ww >= 128 else ww
-
-    # Pass-1 row-block start: v over window corners, floor - 1, snapped to 8,
-    # clamped so [w0, w0+P) stays inside the padded slab.
+def pass1_row_start(coeffs, x0, y0, wh: int, ww: int, P: int, SH: int):
+    """Pass-1 row-block start: source-v over the window corners, floor - 1,
+    snapped to 8, clamped so [w0, w0+P) stays inside a height-``SH`` slab.
+    Returns a traced int32 (provably a multiple of 8)."""
+    _, _, _, c, d, f = coeffs
     xs = (x0.astype(jnp.float32), x0.astype(jnp.float32) + (ww - 1))
     ys = (y0.astype(jnp.float32), y0.astype(jnp.float32) + (wh - 1))
     corners = [c * xx + d * yy + f for xx in xs for yy in ys]
     vmin = jnp.minimum(jnp.minimum(corners[0], corners[1]),
                        jnp.minimum(corners[2], corners[3]))
     w0 = (jnp.floor(vmin).astype(jnp.int32) - 1) & ~7
-    w0 = pl.multiple_of(jnp.clip(w0, 0, SHp - P), 8)
-    w0f = w0.astype(jnp.float32)
+    return pl.multiple_of(jnp.clip(w0, 0, (SH - P) & ~7), 8)
 
-    # Mosaic loads support only one dynamic slice; stage the row block once
-    # so the per-tile loads below slice it with a single dynamic lane offset.
-    rows_ref[...] = slab_ref[pl.ds(w0, P), :]
+
+def resample_rows_in_kernel(
+    rows_ref,          # VMEM (P, SWp) int32: slab rows [w0, w0+P) pre-staged
+    w0,                # traced int32 row-block start (pass1_row_start)
+    coeffs,            # (A, B, C, c, d, f) traced scalars, slab coords
+    x0, y0,            # window origin in OUTPUT coords (traced scalars)
+    wh: int, ww: int,  # static window size; ww mult of 128, wh mult of 8
+    P: int,            # static pass-1 row count (max_row_span), mult of 8
+    t1_ref,            # VMEM scratch (3, P, ww) f32
+    t1t_ref,           # VMEM scratch (ww, Pp) f32, Pp = round_up(P, 128)
+    outt_ref,          # VMEM scratch (ww, round_up(wh, 128)) f32
+    x_tiles_scan: int,  # scan_tiles_pass1(...)
+    y_tiles_scan: int,  # scan_tiles_pass2(..., xchunk=128)
+    sw: int = None,     # valid slab width (defaults to the full row width)
+):
+    """Two-pass affine resample of a window from pre-staged slab rows.
+    ``coeffs`` map output coords to SLAB coords (caller folds the reflect
+    margins in). Returns three (wh, ww) f32 channel planes. Callable from any
+    kernel — the scene megakernel DMAs rows from HBM itself and calls this."""
+    A, B, C, c, d, f = coeffs
+    SWp = rows_ref.shape[1] if sw is None else sw
+    Pp = t1t_ref.shape[1]
+    XCHUNK = 128 if ww >= 128 else ww
+    w0f = w0.astype(jnp.float32)
 
     # ---- pass 1: t1[w, x] = row_lerp(slab[w0 + w], A x + B (w0+w) + C) ----
     for xt in range(ww // 128):
@@ -259,6 +261,21 @@ def resample_affine_in_kernel(
                 ] = q0 + (q1 - q0) * fy
         outs.append(outt_ref[:, :wh].T)  # back to (wh, ww)
     return tuple(outs)
+
+
+def resample_affine_in_kernel(
+    slab_ref, coeffs, x0, y0, wh, ww, P,
+    rows_ref, t1_ref, t1t_ref, outt_ref, x_tiles_scan, y_tiles_scan,
+):
+    """Convenience wrapper when the whole slab is already in VMEM: computes
+    the pass-1 row start, stages the row block, and resamples. (Mosaic loads
+    support only one dynamic slice, hence the staging copy.)"""
+    w0 = pass1_row_start(coeffs, x0, y0, wh, ww, P, slab_ref.shape[0])
+    rows_ref[...] = slab_ref[pl.ds(w0, P), :]
+    return resample_rows_in_kernel(
+        rows_ref, w0, coeffs, x0, y0, wh, ww, P,
+        t1_ref, t1t_ref, outt_ref, x_tiles_scan, y_tiles_scan,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,555 @@
+"""The scene megakernel: one Mosaic program per sample renders ALL foreground
+objects — coverage, composite algebra, texture, blending, and flow — with the
+frame accumulators resident in VMEM for the whole sample.
+
+This is the batch-wide fused object pass that replaces the renderer's
+per-object XLA dispatch loop (compose/render.py ``blit``): where the XLA loop
+paid, per object, an HBM round-trip of every window slice plus kernel-launch
+and gather overheads (~0.9 ms per on-screen object-frame measured at round 1),
+this kernel pays one bg-frame DMA-in, one result DMA-out, and per object only
+the texture traffic it actually needs. The reference's equivalent is the
+second-level thread pool rendering objects of one sample concurrently
+(src/caffe/DataGenerator.cpp:1256-1306 + QueueProcessor.h); here the painter's
+order is the sequential object loop inside one program, and sample-level
+parallelism is the (B,) grid.
+
+Per work unit (object x frame x window tile):
+
+* edge tables DMA from HBM into SMEM (scalars feed the exact-area scan),
+* frame-0 texture: direct window DMA from the texture's reflect-padded packed
+  slab (the object texture is the frame-aligned center crop,
+  DataGenerator.cpp:1149-1150 with default crop args),
+* frame-1 texture: banded two-pass affine resample from the same slab
+  (ops/pallas_resample.py) — the motion warp of renderTransformedTexture
+  (cpp:337-349) without a single hardware gather,
+* exact-area coverage + composite screen algebra (ops/pallas_raster.py
+  semantics), alpha blend, and flow overwrite, all on dynamic window slices
+  of the VMEM accumulators.
+
+Large objects are covered by a grid of window tiles; each tile blends only
+pixels inside its OWNERSHIP rectangle (the tile grid partitions the object's
+cover rect), so overlapping clamped windows never double-blend.
+
+Alignment rules (Mosaic provability): window origins are snapped to the
+(8, 128) sublane/lane grid, edge tables are lane-padded to 128, and all HBM
+DMA offsets are ``pl.multiple_of``-asserted.
+
+Texture slabs: ``prepare_slabs`` packs each texture's frame-sized center crop
+as RGB-in-int32 with ``SLAB_MARGIN`` reflect-padded texels per side. Sampling
+windows are folded into the slab by composing the per-tile reflect fold (a
+translation or mirror per axis — both affine) into the resample coefficients
+on the XLA side (compose/fused.py), so AGG's wrap_mode_reflect semantics
+(cpp:188-192) hold for any footprint within ``SLAB_MARGIN`` of the fold.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_raster import _area_accumulate
+from . import pallas_resample as resamp
+
+# Window tile size: one VMEM-friendly unit of object evaluation.
+WIN_H = 192
+WIN_W = 256
+# Max tile-grid extent per object frame (cover rect <= frame + margins).
+MAX_TILES_Y = 3
+MAX_TILES_X = 3
+MAX_TILES = MAX_TILES_Y * MAX_TILES_X
+# Reflect-padded slab margin: must exceed half the source footprint diameter
+# of one window tile (window diag * max inverse scale / 2).
+SLAB_MARGIN = 256
+
+# objmeta_i layout (per object, per frame)
+OMI_ON = 0          # window pass needed for this frame
+OMI_NTY = 1         # tile-grid rows
+OMI_NTX = 2         # tile-grid cols
+OMI_TEX = 3         # texture id (pre-wrapped to atlas size)
+OMI_NPRIMS = 4
+OMI_ADD_BITS = 5    # additive flags, bit c = prim c
+OMI_POLY_BITS = 6   # is_poly flags
+OMI_NEDGES = 8      # n_edges[0..6] at 8..14
+OMI_SIZE = 16
+
+# objmeta_f layout (per object, per frame)
+OMF_MOTION = 0      # flow motion 2x3 row-major (motion fwd / inverse)
+OMF_ELL = 8         # + c*8: ellipse inverse transform (6), rx, ry
+OMF_SIZE = 64
+
+# tilemeta layouts (per object, frame, tile slot)
+TMI_Y0 = 0          # window origin (snapped)
+TMI_X0 = 1
+TMI_OY0 = 2         # ownership rect [OY0, OY1) x [OX0, OX1)
+TMI_OY1 = 3
+TMI_OX0 = 4
+TMI_OX1 = 5
+TMI_SIZE = 8
+TMF_SIZE = 8        # resample coeffs A,B,C,c,d,f (frame 1 only)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def slab_shape(height: int, width: int):
+    return (
+        _round_up(height + 2 * SLAB_MARGIN, 8),
+        _round_up(width + 2 * SLAB_MARGIN, 128),
+    )
+
+
+def prepare_slabs(atlas, height: int, width: int):
+    """(T, SH, SW, 3) texture atlas -> (T, SHs, SWs) int32 packed slabs of the
+    frame-sized center crops with SLAB_MARGIN reflected texels per side.
+    The crop is the object texture (Texture::getRandomizedCrop with default
+    args = centered crop, cpp:87-109 via cpp:1149-1150)."""
+    sh, sw = atlas.shape[1], atlas.shape[2]
+    y0 = (sh - height) // 2
+    x0 = (sw - width) // 2
+    crops = atlas[:, y0 : y0 + height, x0 : x0 + width]
+
+    def slab(img):
+        s = resamp.reflect_pad(resamp.pack_rgb_i32(img), SLAB_MARGIN, SLAB_MARGIN)
+        hs, ws = slab_shape(height, width)
+        return jnp.pad(
+            s, ((0, hs - s.shape[0]), (0, ws - s.shape[1])), mode="edge"
+        )
+
+    return jax.vmap(slab)(crops)
+
+
+def mode_envelope(spec, height: int, width: int):
+    """Static motion envelope of a mode: (max |total rotation|, max inverse
+    scale). Total motion = object motion composed with the conjugated
+    background motion; both are rotation+isotropic-scale, so the envelope is
+    the sum of rotation bounds and the product of scale bounds (the shapers
+    map into closed ranges, DataGenerator.cpp:826-921)."""
+    rot = 0.0
+    if spec.obj_rot_p > 0:
+        rot += max(abs(spec.obj_rot_range[0]), abs(spec.obj_rot_range[1]))
+    if spec.bg_rot_p > 0:
+        rot += max(abs(spec.bg_rot_range[0]), abs(spec.bg_rot_range[1]))
+    s_lo = 1.0
+    if spec.obj_scale_p > 0:
+        s_lo *= spec.obj_scale_range[0]
+    if spec.bg_scale_p > 0:
+        s_lo *= spec.bg_scale_range[0]
+    return rot, 1.0 / s_lo
+
+
+def fused_eligible(spec, height: int, width: int) -> bool:
+    """Static check: can this mode run through the scene kernel?
+    Needs the two-pass resampler's rotation bound (< 45 deg total), no
+    nonrigid warps (mode 9 falls back), and alignment-friendly frame dims."""
+    rot, _ = mode_envelope(spec, height, width)
+    return (
+        spec.warp_p == 0.0
+        and rot < math.pi / 4 - 1e-3
+        and height % 8 == 0
+        and width % 128 == 0
+        and height >= 8
+        and width >= 128
+    )
+
+
+def resample_params(spec, height: int, width: int):
+    """Static (P, x_tiles_scan, y_tiles_scan) for the mode's motion envelope."""
+    rot, inv_s = mode_envelope(spec, height, width)
+    wh, ww = min(WIN_H, height), min(WIN_W, width)
+    P = resamp.max_row_span(wh, ww, rot + 1e-6, inv_s)
+    a_max = inv_s / math.cos(rot)
+    b_max = math.tan(rot)
+    c_max = math.sin(rot) * inv_s
+    d_max = inv_s
+    xs = resamp.scan_tiles_pass1(a_max, b_max, P)
+    ys = resamp.scan_tiles_pass2(c_max, d_max, min(128, ww))
+    return P, xs, ys
+
+
+def _unpack3f(v):
+    return (
+        ((v >> 16) & 0xFF).astype(jnp.float32),
+        ((v >> 8) & 0xFF).astype(jnp.float32),
+        (v & 0xFF).astype(jnp.float32),
+    )
+
+
+def _pack3f(r, g, b):
+    return (
+        (r.astype(jnp.int32) << 16)
+        | (g.astype(jnp.int32) << 8)
+        | b.astype(jnp.int32)
+    )
+
+
+def _make_scene_kernel(
+    H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, use_aa, inverse_flow,
+    debug_level=3,
+):
+    wh, ww = min(WIN_H, H), min(WIN_W, W)
+
+    def kernel(
+        smeta_hbm,      # ANY (B, 1, 128) i32: [count, order[K], ...]
+        omi_hbm,        # ANY (B, 1, K*2*OMI_SIZE) i32
+        omf_hbm,        # ANY (B, 1, K*2*OMF_SIZE) f32
+        tmi_hbm,        # ANY (B, 1, pad128(K*2*MAX_TILES*TMI_SIZE)) i32
+        tmf_hbm,        # ANY (B, 1, same) f32
+        edges_hbm,      # ANY (B, K, 2, 4, EP) f32
+        slabs_hbm,      # ANY (T, SHs, SWs) i32
+        bgf_hbm,        # ANY (B, 2, H, W) i32 packed bg frames
+        flow_hbm,       # ANY (B, 2 or 4, H, W) f32 flow init (+ iflow init)
+        frames_out,     # ANY (B, 2, H, W) i32
+        flow_out,       # ANY (B, 2 or 4, H, W) f32
+        acc0, acc1,     # VMEM (H, W) i32
+        accf,           # VMEM (2 or 4, H, W) f32
+        smeta, omi, omf, tmi, tmf,  # SMEM flat per-sample meta
+        edges_smem,     # SMEM (4, EP) f32
+        rows,           # VMEM (P, SWs) i32
+        t1, t1t, outt,  # resample scratch
+        cov_aa, cov_in, cov_area,  # VMEM (wh, ww) f32/i32/f32
+        sems,           # DMA semaphore array (8,)
+    ):
+        b = pl.program_id(0)
+
+        # ---- load accumulators + per-sample meta (all DMAs overlap) ----
+        loads = [
+            pltpu.make_async_copy(bgf_hbm.at[b, 0], acc0, sems.at[0]),
+            pltpu.make_async_copy(bgf_hbm.at[b, 1], acc1, sems.at[1]),
+            pltpu.make_async_copy(flow_hbm.at[b], accf, sems.at[2]),
+            pltpu.make_async_copy(smeta_hbm.at[b], smeta, sems.at[3]),
+            pltpu.make_async_copy(omi_hbm.at[b], omi, sems.at[4]),
+            pltpu.make_async_copy(omf_hbm.at[b], omf, sems.at[5]),
+            pltpu.make_async_copy(tmi_hbm.at[b], tmi, sems.at[6]),
+            pltpu.make_async_copy(tmf_hbm.at[b], tmf, sems.at[7]),
+        ]
+        for cp in loads:
+            cp.start()
+        for cp in loads:
+            cp.wait()
+
+        # Flat SMEM accessors (metadata layouts in the module header).
+        def OMI(k, frame, field):
+            return omi[0, (k * 2 + frame) * OMI_SIZE + field]
+
+        def OMF(k, frame, field):
+            return omf[0, (k * 2 + frame) * OMF_SIZE + field]
+
+        def TMI(k, frame, t, field):
+            return tmi[0, ((k * 2 + frame) * MAX_TILES + t) * TMI_SIZE + field]
+
+        def TMF(k, frame, t, field):
+            return tmf[0, ((k * 2 + frame) * MAX_TILES + t) * TMF_SIZE + field]
+
+        def do_tile(k, frame, t, acc_frame):
+            if debug_level < 2:
+                return
+            y0 = pl.multiple_of(TMI(k, frame, t, TMI_Y0) & ~7, 8)
+            x0 = pl.multiple_of(TMI(k, frame, t, TMI_X0) & ~127, 128)
+            tid = OMI(k, frame, OMI_TEX)
+
+            # --- texture for this window ---
+            if frame == 0:
+                # frame-aligned center crop: slab offset = margin + window
+                sy = pl.multiple_of((SLAB_MARGIN + y0) & ~7, 8)
+                sx = pl.multiple_of((SLAB_MARGIN + x0) & ~127, 128)
+                tex_dma = pltpu.make_async_copy(
+                    slabs_hbm.at[tid, pl.ds(sy, wh), pl.ds(sx, ww)],
+                    rows.at[:wh, :ww],
+                    sems.at[1],
+                )
+                tex_dma.start()
+            else:
+                coeffs = tuple(TMF(k, frame, t, j) for j in range(6))
+                w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, P, SHs)
+                tex_dma = pltpu.make_async_copy(
+                    slabs_hbm.at[tid, pl.ds(w0, P), :],
+                    rows,
+                    sems.at[1],
+                )
+                tex_dma.start()
+
+            # --- coverage while the texture DMA is in flight ---
+            px = (
+                lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + x0
+            ).astype(jnp.float32)
+            py = (
+                lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + y0
+            ).astype(jnp.float32)
+            cx = px + 0.5
+            cy = py + 0.5
+
+            cov_aa[:] = jnp.zeros_like(cov_aa)
+            cov_in[:] = jnp.zeros_like(cov_in)
+            n_prims = OMI(k, frame, OMI_NPRIMS)
+            add_bits = OMI(k, frame, OMI_ADD_BITS)
+            poly_bits = OMI(k, frame, OMI_POLY_BITS)
+
+            def comp(c, _):
+                is_poly = ((poly_bits >> c) & 1) != 0
+                cov_area[:] = jnp.zeros_like(cov_area)
+
+                @pl.when(is_poly)
+                def _():
+                    _area_accumulate(
+                        edges_smem, c * E, OMI(k, frame, OMI_NEDGES + c),
+                        cx, cy, cov_area,
+                    )
+                    area = jnp.abs(cov_area[:])
+                    cov_area[:] = jnp.minimum(area, 1.0) + jnp.where(
+                        area >= 0.5, 2.0, 0.0
+                    )
+
+                @pl.when(jnp.logical_not(is_poly))
+                def _():
+                    base = OMF_ELL + c * 8
+                    i00 = OMF(k, frame, base + 0)
+                    i01 = OMF(k, frame, base + 1)
+                    i02 = OMF(k, frame, base + 2)
+                    i10 = OMF(k, frame, base + 3)
+                    i11 = OMF(k, frame, base + 4)
+                    i12 = OMF(k, frame, base + 5)
+                    rx_e = OMF(k, frame, base + 6)
+                    ry_e = OMF(k, frame, base + 7)
+                    ux = (i00 * cx + i01 * cy + i02) / rx_e
+                    uy = (i10 * cx + i11 * cy + i12) / ry_e
+                    r = jnp.sqrt(ux * ux + uy * uy)
+                    safe_r = jnp.maximum(r, 1e-6)
+                    gx = (i00 / rx_e) * (ux / safe_r) + (i10 / ry_e) * (
+                        uy / safe_r
+                    )
+                    gy = (i01 / rx_e) * (ux / safe_r) + (i11 / ry_e) * (
+                        uy / safe_r
+                    )
+                    gnorm = jnp.sqrt(gx * gx + gy * gy)
+                    sdf = (r - 1.0) / jnp.maximum(gnorm, 1e-9)
+                    cov_area[:] = jnp.clip(0.5 - sdf, 0.0, 1.0) + jnp.where(
+                        r <= 1.0, 2.0, 0.0
+                    )
+
+                # cov_area carries aa in the fractional part and the binary
+                # bit at +2 (one scratch, one pl.when pair).
+                additive = ((add_bits >> c) & 1) != 0
+                aa = cov_area[:] - jnp.where(cov_area[:] >= 2.0, 2.0, 0.0)
+                ins = (cov_area[:] >= 2.0).astype(jnp.int32)
+                a_aa = 1.0 - (1.0 - cov_aa[:]) * (1.0 - aa)
+                a_in = jnp.maximum(cov_in[:], ins)
+                s_aa = cov_aa[:] * (1.0 - aa)
+                s_in = cov_in[:] * (1 - ins)
+                cov_aa[:] = jnp.where(additive, a_aa, s_aa)
+                cov_in[:] = jnp.where(additive, a_in, s_in)
+                return 0
+
+            lax.fori_loop(0, n_prims, comp, 0)
+            if debug_level < 3:
+                tex_dma.wait()
+                return
+
+            # --- ownership mask (tile grid partitions the cover rect) ---
+            pxi = lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + x0
+            pyi = lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + y0
+            own = (
+                (pyi >= TMI(k, frame, t, TMI_OY0))
+                & (pyi < TMI(k, frame, t, TMI_OY1))
+                & (pxi >= TMI(k, frame, t, TMI_OX0))
+                & (pxi < TMI(k, frame, t, TMI_OX1))
+            ).astype(jnp.float32)
+
+            m = (
+                cov_aa[:] if use_aa else cov_in[:].astype(jnp.float32)
+            ) * own
+
+            # --- texture planes ---
+            tex_dma.wait()
+            if frame == 0:
+                tr, tg, tb = _unpack3f(rows[:wh, :ww])
+            else:
+                tr, tg, tb = resamp.resample_rows_in_kernel(
+                    rows, w0, coeffs, x0, y0, wh, ww, P,
+                    t1, t1t, outt, xscan, yscan,
+                )
+
+            # --- blend (blitObject alpha composite, cpp:777-796) ---
+            win = acc_frame[pl.ds(y0, wh), pl.ds(x0, ww)]
+            fr, fg, fb = _unpack3f(win)
+            fr = jnp.round(fr * (1.0 - m) + tr * m)
+            fg = jnp.round(fg * (1.0 - m) + tg * m)
+            fb = jnp.round(fb * (1.0 - m) + tb * m)
+            acc_frame[pl.ds(y0, wh), pl.ds(x0, ww)] = _pack3f(fr, fg, fb)
+
+            # --- flow overwrite where the binary mask covers ---
+            emit = (frame == 0) or inverse_flow
+            if emit:
+                mi = cov_in[:].astype(jnp.float32) * own
+                m00 = OMF(k, frame, OMF_MOTION + 0)
+                m01 = OMF(k, frame, OMF_MOTION + 1)
+                m02 = OMF(k, frame, OMF_MOTION + 2)
+                m10 = OMF(k, frame, OMF_MOTION + 3)
+                m11 = OMF(k, frame, OMF_MOTION + 4)
+                m12 = OMF(k, frame, OMF_MOTION + 5)
+                ofx = m00 * px + m01 * py + m02 - px
+                ofy = m10 * px + m11 * py + m12 - py
+                fi = 0 if frame == 0 else 2
+                wx = accf[fi, pl.ds(y0, wh), pl.ds(x0, ww)]
+                wy = accf[fi + 1, pl.ds(y0, wh), pl.ds(x0, ww)]
+                accf[fi, pl.ds(y0, wh), pl.ds(x0, ww)] = (
+                    ofx * mi + wx * (1.0 - mi)
+                )
+                accf[fi + 1, pl.ds(y0, wh), pl.ds(x0, ww)] = (
+                    ofy * mi + wy * (1.0 - mi)
+                )
+
+        def obj(i, _):
+            k = smeta[0, 1 + i]
+            for frame, acc_frame in ((0, acc0), (1, acc1)):
+                on = OMI(k, frame, OMI_ON) != 0
+
+                @pl.when(on)
+                def _(frame=frame, acc_frame=acc_frame):
+                    edma = pltpu.make_async_copy(
+                        edges_hbm.at[b, k, frame], edges_smem, sems.at[0]
+                    )
+                    edma.start()
+                    edma.wait()
+
+                    def tile(t, _):
+                        do_tile(k, frame, t, acc_frame)
+                        return 0
+
+                    nt = OMI(k, frame, OMI_NTY) * OMI(k, frame, OMI_NTX)
+                    lax.fori_loop(0, nt, tile, 0)
+
+            return 0
+
+        if debug_level >= 1:
+            lax.fori_loop(0, smeta[0, 0], obj, 0)
+
+        # ---- store results ----
+        stores = [
+            pltpu.make_async_copy(acc0, frames_out.at[b, 0], sems.at[0]),
+            pltpu.make_async_copy(acc1, frames_out.at[b, 1], sems.at[1]),
+            pltpu.make_async_copy(accf, flow_out.at[b], sems.at[2]),
+        ]
+        for cp in stores:
+            cp.start()
+        for cp in stores:
+            cp.wait()
+
+    return kernel
+
+
+def _pad128(n: int) -> int:
+    return _round_up(n, 128)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec_key", "use_aa", "inverse_flow", "interpret",
+                     "debug_level"),
+)
+def scene_render_pallas(
+    count, order, omi, omf, tmi, tmf, edges, slabs, bgf, flow_init,
+    *, spec_key, use_aa=True, inverse_flow=False, interpret=False,
+    debug_level=3,
+):
+    """Run the scene megakernel over a batch.
+
+    Inputs (built by compose/fused.py): ``count`` (B,), ``order`` (B,K),
+    ``omi`` (B,K,2,OMI_SIZE) i32, ``omf`` (B,K,2,OMF_SIZE) f32,
+    ``tmi`` (B,K,2,MAX_TILES,TMI_SIZE) i32, ``tmf`` same in f32,
+    ``edges`` (B,K,2,4,EP) f32, ``slabs`` (T,SHs,SWs) i32 packed textures,
+    ``bgf`` (B,2,H,W) i32 packed background frames, ``flow_init``
+    (B,2 or 4,H,W) f32 (forward [+ inverse] background flow).
+
+    All small metadata is flattened to (B, mult-of-128) rows here and DMA'd
+    into unpadded SMEM scratch per sample (SMEM BlockSpec windows tile-pad
+    their last two dims to (8, 128), which inflates these tables ~50x past
+    the 1 MB SMEM budget).
+
+    ``spec_key``: hashable (P, xscan, yscan, H, W) static tuple from
+    ``resample_params`` + frame dims. Returns (frames (B,2,H,W) i32,
+    flow (B,2 or 4,H,W) f32).
+    """
+    from ..config import MAX_COMPONENTS, MAX_EDGES
+
+    P, xscan, yscan, H, W = spec_key
+    B, K = order.shape
+    EP = edges.shape[-1]
+    C = MAX_COMPONENTS
+    E = MAX_EDGES
+    SHs, SWs = slabs.shape[1], slabs.shape[2]
+    wh, ww = min(WIN_H, H), min(WIN_W, W)
+    Pp = _round_up(P, 128)
+    nflow = flow_init.shape[1]
+
+    kernel = _make_scene_kernel(
+        H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, use_aa, inverse_flow,
+        debug_level,
+    )
+
+    # Flatten + pad the metadata to (B, mult-of-128) HBM rows.
+    def flat(x, width):
+        x = x.reshape(B, 1, -1)
+        # (B, 1, width): leading dims slice cleanly for row DMA (a 2-D
+        # (B, width) array gets an (8, 128) HBM tiling whose rows can't be
+        # sliced singly).
+        return jnp.pad(x, ((0, 0), (0, 0), (0, width - x.shape[2])))
+
+    SM_LEN = _pad128(1 + K)
+    smeta = flat(
+        jnp.concatenate([count.reshape(B, 1), order.astype(jnp.int32)], 1),
+        SM_LEN,
+    )
+    omi_w = _pad128(K * 2 * OMI_SIZE)
+    omf_w = _pad128(K * 2 * OMF_SIZE)
+    tm_w = _pad128(K * 2 * MAX_TILES * TMI_SIZE)
+    omi_f = flat(omi.astype(jnp.int32), omi_w)
+    omf_f = flat(omf.astype(jnp.float32), omf_w)
+    tmi_f = flat(tmi.astype(jnp.int32), tm_w)
+    tmf_f = flat(tmf.astype(jnp.float32), tm_w)
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B,),
+        in_specs=[any_spec] * 9,
+        out_specs=(any_spec, any_spec),
+        scratch_shapes=[
+            pltpu.VMEM((H, W), jnp.int32),
+            pltpu.VMEM((H, W), jnp.int32),
+            pltpu.VMEM((nflow, H, W), jnp.float32),
+            pltpu.SMEM((1, SM_LEN), jnp.int32),
+            pltpu.SMEM((1, omi_w), jnp.int32),
+            pltpu.SMEM((1, omf_w), jnp.float32),
+            pltpu.SMEM((1, tm_w), jnp.int32),
+            pltpu.SMEM((1, tm_w), jnp.float32),
+            pltpu.SMEM((4, EP), jnp.float32),
+            pltpu.VMEM((P, SWs), jnp.int32),
+            pltpu.VMEM((3, P, ww), jnp.float32),
+            pltpu.VMEM((ww, Pp), jnp.float32),
+            pltpu.VMEM((ww, _round_up(wh, 128)), jnp.float32),
+            pltpu.VMEM((wh, ww), jnp.float32),
+            pltpu.VMEM((wh, ww), jnp.int32),
+            pltpu.VMEM((wh, ww), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+    )
+    frames, flow = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 2, H, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, nflow, H, W), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(smeta, omi_f, omf_f, tmi_f, tmf_f, edges, slabs, bgf, flow_init)
+    return frames, flow

@@ -96,6 +96,20 @@ def sample_bilinear_quad(quad, x, y, wrap="reflect", channels=3):
     mirrored wrap regions, where the +1 neighbor direction is not flipped
     (sub-pixel deviation confined to out-of-texture folds)."""
     h, w = quad.shape[0], quad.shape[1]
+    return sample_bilinear_quad_flat(
+        quad.reshape(h * w, 4 * channels), jnp.int32(0), h, w, x, y,
+        wrap=wrap, channels=channels,
+    )
+
+
+def sample_bilinear_quad_flat(flat, base, h, w, x, y, wrap="reflect",
+                              channels=3):
+    """:func:`sample_bilinear_quad` against one texture of a STACKED quad
+    table flattened to (T*h*w, 4c), selected by row offset ``base`` (=
+    tex_id * h * w). Folding the texture id into the gather indices instead
+    of slicing the atlas first is what keeps a vmapped caller cheap: indexing
+    a stacked atlas with per-sample traced ids under vmap would gather and
+    materialize the full texture for every sample (~300 MB/batch observed)."""
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     fx = (x - x0f)[..., None]
@@ -103,8 +117,7 @@ def sample_bilinear_quad(quad, x, y, wrap="reflect", channels=3):
     xi = _wrap_indices(x0f.astype(jnp.int32), w, wrap)
     yi = _wrap_indices(y0f.astype(jnp.int32), h, wrap)
 
-    flat = quad.reshape(h * w, 4 * channels)
-    rows = jnp.take(flat, yi * w + xi, axis=0).astype(jnp.float32)
+    rows = jnp.take(flat, base + yi * w + xi, axis=0).astype(jnp.float32)
     p00 = rows[..., 0 * channels : 1 * channels]
     p01 = rows[..., 1 * channels : 2 * channels]
     p10 = rows[..., 2 * channels : 3 * channels]

@@ -52,13 +52,29 @@ def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig):
     return out
 
 
+def use_fused_path(cfg: DataGenConfig) -> bool:
+    """Whether this config renders through the scene megakernel
+    (compose/fused.py): Pallas enabled, windowed, and the mode statically
+    eligible (no warps, rotation envelope within the two-pass resampler's
+    bound — see ops/pallas_scene.fused_eligible)."""
+    from ..compose.render import _pallas_enabled
+    from ..ops.pallas_scene import fused_eligible
+
+    return (
+        cfg.windowed
+        and _pallas_enabled(cfg)
+        and fused_eligible(cfg.mode_spec, cfg.height, cfg.width)
+    )
+
+
 def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
-                   warp_bank=None):
+                   warp_bank=None, slabs=None):
     """One batch: samples ``cfg.batch_size`` scenes at global indices
     ``base_index .. base_index+B-1`` (default ``step*B``) and renders them.
     Pure; jit with cfg static. In mode 9 a precomputed ``warp_bank`` can be
     passed (see make_generate_fn's epoch caching); otherwise it is derived
-    from ``(root, step // warp_bank_reuse_steps)`` inline."""
+    from ``(root, step // warp_bank_reuse_steps)`` inline. ``slabs`` likewise
+    pre-bakes the fused path's packed texture slabs."""
     from ..compose.render import prepare_atlas
 
     b = cfg.batch_size
@@ -82,7 +98,17 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
     else:
         warp_bank = None
     scenes = sample_scene_batch(root, indices, cfg, n_warp_slots=n_slots)
-    rendered = render_batch(scenes, atlas, cfg, warp_bank)
+    if use_fused_path(cfg):
+        from ..compose.fused import render_batch_fused
+        from ..ops.pallas_scene import prepare_slabs
+
+        if slabs is None:
+            # Quad channels 0:3 are the unshifted image (texture.make_quad).
+            slabs = prepare_slabs(atlas[..., :3], cfg.height, cfg.width)
+        slabs = jax.lax.optimization_barrier(slabs)
+        rendered = render_batch_fused(scenes, atlas, slabs, cfg)
+    else:
+        rendered = render_batch(scenes, atlas, cfg, warp_bank)
     if cfg.compute_inverse_flow:
         i0, i1, f0, f1 = rendered
     else:
@@ -112,6 +138,31 @@ def make_atlas_packer():
     return packed
 
 
+def make_slab_packer(cfg: DataGenConfig):
+    """Host-side cache of the fused path's packed texture slabs (see
+    ops/pallas_scene.prepare_slabs) — like make_atlas_packer, built once per
+    distinct atlas. Returns ``fn(atlas) -> slabs or None`` (None when the
+    config doesn't use the fused path; generate_batch then ignores it)."""
+    if not use_fused_path(cfg):
+        return lambda atlas: None
+    from ..ops.pallas_scene import prepare_slabs
+
+    pack = jax.jit(
+        functools.partial(prepare_slabs, height=cfg.height, width=cfg.width)
+    )
+    cache = {}
+
+    def slabs(atlas):
+        if isinstance(atlas, jax.core.Tracer):
+            return None  # composed under jit: generate_batch derives inline
+        if cache.get("id") != id(atlas):
+            cache["id"] = id(atlas)
+            cache["val"] = pack(atlas[..., :3])
+        return cache["val"]
+
+    return slabs
+
+
 def make_generate_fn(cfg: DataGenConfig, mesh=None):
     """Compiled generation step. With a mesh, generation shards over the
     ``data`` axis via shard_map — per-device independent generation, zero
@@ -128,8 +179,11 @@ def make_generate_fn(cfg: DataGenConfig, mesh=None):
 
     gen = jax.jit(functools.partial(generate_batch, cfg=cfg))
     packed = make_atlas_packer()
+    slab_of = make_slab_packer(cfg)
     if cfg.mode_spec.warp_p == 0.0:
-        return lambda root, step, atlas: gen(root, step, packed(atlas))
+        return lambda root, step, atlas: gen(
+            root, step, packed(atlas), slabs=slab_of(packed(atlas))
+        )
 
     bank_fn = jax.jit(functools.partial(warpgen.make_warp_bank, cfg=cfg))
     cache = {}
