@@ -81,14 +81,15 @@ def _ell_params(tr, prims):
     ).reshape(K, C * 8)
 
 
-def _fold_coeffs(motion_inv, cx, cy, H, W, margin):
-    """Two-pass resample coefficients for windows centered at (cx, cy) [K,T],
-    sampling the texture crop through ``motion_inv`` [K,2,3] with AGG reflect
-    wrap folded in (period 2W x 2H; the fold at the footprint center is a
-    translation or mirror per axis — both affine — composed into the
-    output->slab map; see ops/pallas_scene.py docstring)."""
-    m = motion_inv[:, None]                              # [K,1,2,3]
-    scx = m[..., 0, 0] * cx + m[..., 0, 1] * cy + m[..., 0, 2]   # [K,T]
+def _fold_coeffs(t, cx, cy, nx, ny, margin):
+    """Two-pass resample coefficients for windows centered at (cx, cy)
+    [..., T], sampling an (ny, nx) texture through the affine ``t``
+    [..., 2, 3] with AGG reflect wrap folded in (period 2nx x 2ny; the fold
+    at the footprint center is a translation or mirror per axis — both
+    affine — composed into the output->slab map; see ops/pallas_scene.py
+    docstring)."""
+    m = t[..., None, :, :]                               # [...,1,2,3]
+    scx = m[..., 0, 0] * cx + m[..., 0, 1] * cy + m[..., 0, 2]   # [...,T]
     scy = m[..., 1, 0] * cx + m[..., 1, 1] * cy + m[..., 1, 2]
 
     def fold(s_c, n):
@@ -99,8 +100,8 @@ def _fold_coeffs(motion_inv, cx, cy, H, W, margin):
         beta = jnp.where(mirror, 2.0 * n - 1.0 + off, -off) + margin
         return sigma, beta
 
-    sx, bx = fold(scx, float(W))
-    sy, by = fold(scy, float(H))
+    sx, bx = fold(scx, float(nx))
+    sy, by = fold(scy, float(ny))
     a = m[..., 0, 0] * sx
     bb = m[..., 0, 1] * sx
     e = m[..., 0, 2] * sx + bx
@@ -205,7 +206,7 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
     ctrx = tmi1[..., ps.TMI_X0].astype(jnp.float32) + ww / 2.0   # [K,T]
     ctry = tmi1[..., ps.TMI_Y0].astype(jnp.float32) + wh / 2.0
     coef1 = _fold_coeffs(
-        objs.motion_inv, ctrx, ctry, H, W, float(ps.SLAB_MARGIN)
+        objs.motion_inv, ctrx, ctry, W, H, float(ps.SLAB_MARGIN)
     )                                                     # [K,T,6]
     tmf1 = jnp.pad(coef1, ((0, 0), (0, 0), (0, ps.TMF_SIZE - 6)))
     tmf = jnp.stack([jnp.zeros_like(tmf1), tmf1], axis=1) # [K,2,T,8]
@@ -213,25 +214,52 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
     return count, order, omi, omf, tmi, tmf.astype(jnp.float32), edges
 
 
-def render_batch_fused(scenes: Scene, quad_atlas, slabs, cfg: DataGenConfig,
-                       interpret: bool = False):
-    """Fused render of a batch: background in XLA, object pass in the scene
-    megakernel. Output signature matches render.render_batch."""
+def _bg_tile_coeffs(scene: Scene, cfg: DataGenConfig, src_h: int, src_w: int):
+    """Background resample coefficients per frame per static full-frame tile:
+    frame 0 samples the (src_h, src_w) source through crop_t o T(+center),
+    frame 1 through crop_t o bg_big_inv o T(+center) (the affines of
+    render.background_pass), with the reflect fold composed per tile.
+    Returns (2, NBT, 6)."""
+    from ..ops import texture as tex_mod
+
     H, W = cfg.height, cfg.width
-    B = scenes.n_objects.shape[0]
+    wh, ww = min(ps.WIN_H, H), min(ps.WIN_W, W)
+    bg = scene.background
+    crop_t = tex_mod.randomized_crop_transform(
+        src_h, src_w, 2 * H, 2 * W,
+        bg.tex_rot_deg, bg.tex_zoom, bg.tex_shift[0], bg.tex_shift[1],
+    )
+    center = affine.translation(W / 2.0, H / 2.0)
+    t0 = affine.chain(center, crop_t)
+    bg_big_inv = affine.invert(
+        affine.conjugate_about(bg.motion, float(W), float(H))
+    )
+    t1 = affine.chain(center, bg_big_inv, crop_t)
+    tiles = [
+        (min(ty * wh, H - wh), min(tx * ww, W - ww))
+        for ty in range(-(-H // wh))
+        for tx in range(-(-W // ww))
+    ]
+    cx = jnp.array([x0 + ww / 2.0 for (_, x0) in tiles], jnp.float32)
+    cy = jnp.array([y0 + wh / 2.0 for (y0, _) in tiles], jnp.float32)
+    margin = float(ps.SLAB_MARGIN)
+    c0 = _fold_coeffs(t0, cx, cy, src_w, src_h, margin)
+    c1 = _fold_coeffs(t1, cx, cy, src_w, src_h, margin)
+    return jnp.stack([c0, c1], 0)
+
+
+def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
+                       cfg: DataGenConfig, interpret: bool = False):
+    """Fused render of a batch: frames entirely in the scene megakernel
+    (background + objects), flow init in XLA. ``src_hw``: the texture
+    sources' (height, width) — the bg slabs' unpadded dims. Output signature
+    matches render.render_batch."""
+    H, W = cfg.height, cfg.width
     spec = cfg.mode_spec
 
-    # lax.map, not vmap: under vmap the per-sample texture gathers read from
-    # the full stacked atlas table, which measures ~3x slower per row than
-    # gathers from one texture's table (HBM random-access latency dominates
-    # large tables); map keeps the old path's per-sample slice + small-table
-    # gather behavior.
-    f0, f1, fx, fy, ifx, ify = jax.lax.map(
-        lambda s: render_mod.background_pass(s, quad_atlas, cfg), scenes
-    )
-    from ..ops.pallas_resample import pack_rgb_i32
-
-    bgf = jnp.stack([pack_rgb_i32(f0), pack_rgb_i32(f1)], axis=1)
+    fx, fy, ifx, ify = jax.vmap(
+        lambda s: render_mod.background_flow(s, cfg)
+    )(scenes)
     if cfg.compute_inverse_flow:
         flow_init = jnp.stack([fx, fy, ifx, ify], axis=1)
     else:
@@ -240,11 +268,15 @@ def render_batch_fused(scenes: Scene, quad_atlas, slabs, cfg: DataGenConfig,
     count, order, omi, omf, tmi, tmf, edges = jax.vmap(
         lambda s: prepare_scene_inputs(s, cfg, slabs.shape[0])
     )(scenes)
+    bgc = jax.vmap(
+        lambda s: _bg_tile_coeffs(s, cfg, src_hw[0], src_hw[1])
+    )(scenes)
+    bg_tex = scenes.background.tex_id % bgslabs.shape[0]
 
     P, xs, ys = ps.resample_params(spec, H, W)
     frames, flow = ps.scene_render_pallas(
-        count, order, omi, omf, tmi, tmf, edges,
-        slabs, bgf, flow_init,
+        count, order, bg_tex, omi, omf, tmi, tmf, bgc, edges,
+        slabs, bgslabs, flow_init,
         spec_key=(P, xs, ys, H, W),
         use_aa=cfg.use_antialiasing,
         inverse_flow=cfg.compute_inverse_flow,

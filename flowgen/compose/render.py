@@ -341,6 +341,27 @@ def background_pass(scene: Scene, atlas: jax.Array, cfg: DataGenConfig,
     return frame0, frame1, flow_x, flow_y, iflow_x, iflow_y
 
 
+def background_flow(scene: Scene, cfg: DataGenConfig):
+    """The flow planes of :func:`background_pass` without the frames — no
+    texture gathers, so freely vmappable. Used by the fused path, which
+    renders the background frames in-kernel (ops/pallas_scene.py). Rigid
+    modes only (the fused path never runs with warp fields)."""
+    H, W = cfg.height, cfg.width
+    ix, iy = raster.pixel_grid(W, H, 0.0)
+    bg_pixel_motion = affine.conjugate_about(
+        scene.background.motion, W / 2.0, H / 2.0
+    )
+    fqx, fqy = affine.apply_xy(bg_pixel_motion, ix, iy)
+    flow_x = fqx - ix
+    flow_y = fqy - iy
+    if cfg.compute_inverse_flow:
+        inv = affine.invert(bg_pixel_motion)
+        iqx, iqy = affine.apply_xy(inv, ix, iy)
+        return flow_x, flow_y, iqx - ix, iqy - iy
+    z = jnp.zeros_like(flow_x)
+    return flow_x, flow_y, z, z
+
+
 def render_sample(
     scene: Scene,
     atlas: jax.Array,

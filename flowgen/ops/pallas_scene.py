@@ -125,6 +125,41 @@ def prepare_slabs(atlas, height: int, width: int):
     return jax.vmap(slab)(crops)
 
 
+def prepare_bg_slabs(atlas):
+    """(T, SH, SW, 3) texture atlas -> (T, SHb, SWb) int32 packed slabs of the
+    FULL canonical sources with SLAB_MARGIN reflected texels per side. The
+    background samples its 2Wx2H source through the randomized-crop affine
+    (MovingObjectBackground, cpp:654-688), so its slab keeps the full source
+    rather than the frame-sized center crop used for objects."""
+
+    def slab(img):
+        s = resamp.reflect_pad(
+            resamp.pack_rgb_i32(img), SLAB_MARGIN, SLAB_MARGIN
+        )
+        hs = _round_up(s.shape[0], 8)
+        ws = _round_up(s.shape[1], 128)
+        return jnp.pad(
+            s, ((0, hs - s.shape[0]), (0, ws - s.shape[1])), mode="edge"
+        )
+
+    return jax.vmap(slab)(atlas)
+
+
+def bg_envelope(spec):
+    """Static motion envelope of the background texture chain: randomized
+    crop (rotation sampled in radians but applied as degrees -> <= 3.15 deg,
+    zoom in [0.8, 1.2]) composed, for frame 1, with the background motion."""
+    crop_rot = math.pi * math.pi / 180.0
+    inv_zoom = 1.0 / 0.8
+    rot = crop_rot
+    inv_s = inv_zoom
+    if spec.bg_rot_p > 0:
+        rot += max(abs(spec.bg_rot_range[0]), abs(spec.bg_rot_range[1]))
+    if spec.bg_scale_p > 0:
+        inv_s /= spec.bg_scale_range[0]
+    return rot, inv_s
+
+
 def mode_envelope(spec, height: int, width: int):
     """Static motion envelope of a mode: (max |total rotation|, max inverse
     scale). Total motion = object motion composed with the conjugated
@@ -160,9 +195,13 @@ def fused_eligible(spec, height: int, width: int) -> bool:
 
 
 def resample_params(spec, height: int, width: int):
-    """Static (P, x_tiles_scan, y_tiles_scan) for the mode's motion envelope."""
-    rot, inv_s = mode_envelope(spec, height, width)
+    """Static (P, x_tiles_scan, y_tiles_scan) covering both the object motion
+    envelope and the background texture chain (both resample in-kernel)."""
     wh, ww = min(WIN_H, height), min(WIN_W, width)
+    rot_o, inv_o = mode_envelope(spec, height, width)
+    rot_b, inv_b = bg_envelope(spec)
+    rot = max(rot_o, rot_b)
+    inv_s = max(inv_o, inv_b)
     P = resamp.max_row_span(wh, ww, rot + 1e-6, inv_s)
     a_max = inv_s / math.cos(rot)
     b_max = math.tan(rot)
@@ -190,49 +229,84 @@ def _pack3f(r, g, b):
 
 
 def _make_scene_kernel(
-    H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, use_aa, inverse_flow,
-    debug_level=3,
+    H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
+    inverse_flow, debug_level=3,
 ):
     wh, ww = min(WIN_H, H), min(WIN_W, W)
+    # Static background tile grid (full-frame cover; the trailing tile clamps
+    # into the frame and overwrites the overlap deterministically).
+    bg_tiles = [
+        (min(ty * wh, H - wh), min(tx * ww, W - ww))
+        for ty in range(-(-H // wh))
+        for tx in range(-(-W // ww))
+    ]
+    NBT = len(bg_tiles)
 
     def kernel(
-        smeta_hbm,      # ANY (B, 1, 128) i32: [count, order[K], ...]
+        smeta_hbm,      # ANY (B, 1, 128) i32: [count, order[K], bg_tex]
         omi_hbm,        # ANY (B, 1, K*2*OMI_SIZE) i32
         omf_hbm,        # ANY (B, 1, K*2*OMF_SIZE) f32
         tmi_hbm,        # ANY (B, 1, pad128(K*2*MAX_TILES*TMI_SIZE)) i32
         tmf_hbm,        # ANY (B, 1, same) f32
+        bgm_hbm,        # ANY (B, 1, pad128(2*NBT*8)) f32 bg tile coeffs
         edges_hbm,      # ANY (B, K, 2, 4, EP) f32
-        slabs_hbm,      # ANY (T, SHs, SWs) i32
-        bgf_hbm,        # ANY (B, 2, H, W) i32 packed bg frames
+        slabs_hbm,      # ANY (T, SHs, SWs) i32 object-crop slabs
+        bgslabs_hbm,    # ANY (T, SHb, SWb) i32 full-source slabs
         flow_hbm,       # ANY (B, 2 or 4, H, W) f32 flow init (+ iflow init)
         frames_out,     # ANY (B, 2, H, W) i32
         flow_out,       # ANY (B, 2 or 4, H, W) f32
         acc0, acc1,     # VMEM (H, W) i32
         accf,           # VMEM (2 or 4, H, W) f32
-        smeta, omi, omf, tmi, tmf,  # SMEM flat per-sample meta
+        smeta, omi, omf, tmi, tmf, bgm,  # SMEM flat per-sample meta
         edges_smem,     # SMEM (4, EP) f32
-        rows,           # VMEM (P, SWs) i32
+        rows,           # VMEM (P, max(SWs, SWb)) i32
         t1, t1t, outt,  # resample scratch
         cov_aa, cov_in, cov_area,  # VMEM (wh, ww) f32/i32/f32
         sems,           # DMA semaphore array (8,)
     ):
         b = pl.program_id(0)
 
-        # ---- load accumulators + per-sample meta (all DMAs overlap) ----
+        # ---- load flow init + per-sample meta (all DMAs overlap) ----
         loads = [
-            pltpu.make_async_copy(bgf_hbm.at[b, 0], acc0, sems.at[0]),
-            pltpu.make_async_copy(bgf_hbm.at[b, 1], acc1, sems.at[1]),
             pltpu.make_async_copy(flow_hbm.at[b], accf, sems.at[2]),
             pltpu.make_async_copy(smeta_hbm.at[b], smeta, sems.at[3]),
             pltpu.make_async_copy(omi_hbm.at[b], omi, sems.at[4]),
             pltpu.make_async_copy(omf_hbm.at[b], omf, sems.at[5]),
             pltpu.make_async_copy(tmi_hbm.at[b], tmi, sems.at[6]),
             pltpu.make_async_copy(tmf_hbm.at[b], tmf, sems.at[7]),
+            pltpu.make_async_copy(bgm_hbm.at[b], bgm, sems.at[0]),
         ]
         for cp in loads:
             cp.start()
         for cp in loads:
             cp.wait()
+
+        # ---- background: resample both frames straight into the
+        # accumulators (MovingObjectBackground, cpp:654-688). Full-frame
+        # cover, so plain overwrite — no blending, no prior contents. ----
+        btid = smeta[0, 1 + K]
+        for frame, acc_frame in ((0, acc0), (1, acc1)):
+            for t, (y0s, x0s) in enumerate(bg_tiles):
+                coeffs = tuple(
+                    bgm[0, (frame * NBT + t) * 8 + j] for j in range(6)
+                )
+                w0 = resamp.pass1_row_start(
+                    coeffs, jnp.int32(x0s), jnp.int32(y0s), wh, ww, P, SHb
+                )
+                bdma = pltpu.make_async_copy(
+                    bgslabs_hbm.at[btid, pl.ds(w0, P), :],
+                    rows.at[:, :SWb],
+                    sems.at[1],
+                )
+                bdma.start()
+                bdma.wait()
+                tr, tg, tb = resamp.resample_rows_in_kernel(
+                    rows, w0, coeffs, jnp.int32(x0s), jnp.int32(y0s),
+                    wh, ww, P, t1, t1t, outt, xscan, yscan, sw=SWb,
+                )
+                acc_frame[y0s : y0s + wh, x0s : x0s + ww] = _pack3f(
+                    jnp.round(tr), jnp.round(tg), jnp.round(tb)
+                )
 
         # Flat SMEM accessors (metadata layouts in the module header).
         def OMI(k, frame, field):
@@ -270,7 +344,7 @@ def _make_scene_kernel(
                 w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, P, SHs)
                 tex_dma = pltpu.make_async_copy(
                     slabs_hbm.at[tid, pl.ds(w0, P), :],
-                    rows,
+                    rows.at[:, :SWs],
                     sems.at[1],
                 )
                 tex_dma.start()
@@ -372,7 +446,7 @@ def _make_scene_kernel(
             else:
                 tr, tg, tb = resamp.resample_rows_in_kernel(
                     rows, w0, coeffs, x0, y0, wh, ww, P,
-                    t1, t1t, outt, xscan, yscan,
+                    t1, t1t, outt, xscan, yscan, sw=SWs,
                 )
 
             # --- blend (blitObject alpha composite, cpp:777-796) ---
@@ -454,7 +528,8 @@ def _pad128(n: int) -> int:
                      "debug_level"),
 )
 def scene_render_pallas(
-    count, order, omi, omf, tmi, tmf, edges, slabs, bgf, flow_init,
+    count, order, bg_tex, omi, omf, tmi, tmf, bgc, edges, slabs, bgslabs,
+    flow_init,
     *, spec_key, use_aa=True, inverse_flow=False, interpret=False,
     debug_level=3,
 ):
@@ -463,9 +538,12 @@ def scene_render_pallas(
     Inputs (built by compose/fused.py): ``count`` (B,), ``order`` (B,K),
     ``omi`` (B,K,2,OMI_SIZE) i32, ``omf`` (B,K,2,OMF_SIZE) f32,
     ``tmi`` (B,K,2,MAX_TILES,TMI_SIZE) i32, ``tmf`` same in f32,
-    ``edges`` (B,K,2,4,EP) f32, ``slabs`` (T,SHs,SWs) i32 packed textures,
-    ``bgf`` (B,2,H,W) i32 packed background frames, ``flow_init``
-    (B,2 or 4,H,W) f32 (forward [+ inverse] background flow).
+    ``bg_tex`` (B,) i32 background texture ids, ``bgc`` (B,2,NBT,6) f32
+    background tile resample coeffs (NBT = the static full-frame tile count,
+    ceil(H/wh)*ceil(W/ww)), ``edges`` (B,K,2,4,EP) f32, ``slabs``
+    (T,SHs,SWs) i32 packed object-crop slabs, ``bgslabs`` (T,SHb,SWb) i32
+    packed full-source slabs, ``flow_init`` (B,2 or 4,H,W) f32 (forward
+    [+ inverse] background flow). Frames are rendered entirely in-kernel.
 
     All small metadata is flattened to (B, mult-of-128) rows here and DMA'd
     into unpadded SMEM scratch per sample (SMEM BlockSpec windows tile-pad
@@ -484,13 +562,15 @@ def scene_render_pallas(
     C = MAX_COMPONENTS
     E = MAX_EDGES
     SHs, SWs = slabs.shape[1], slabs.shape[2]
+    SHb, SWb = bgslabs.shape[1], bgslabs.shape[2]
     wh, ww = min(WIN_H, H), min(WIN_W, W)
     Pp = _round_up(P, 128)
     nflow = flow_init.shape[1]
+    NBT = (-(-H // wh)) * (-(-W // ww))
 
     kernel = _make_scene_kernel(
-        H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, use_aa, inverse_flow,
-        debug_level,
+        H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
+        inverse_flow, debug_level,
     )
 
     # Flatten + pad the metadata to (B, mult-of-128) HBM rows.
@@ -501,9 +581,16 @@ def scene_render_pallas(
         # sliced singly).
         return jnp.pad(x, ((0, 0), (0, 0), (0, width - x.shape[2])))
 
-    SM_LEN = _pad128(1 + K)
+    SM_LEN = _pad128(2 + K)
     smeta = flat(
-        jnp.concatenate([count.reshape(B, 1), order.astype(jnp.int32)], 1),
+        jnp.concatenate(
+            [
+                count.reshape(B, 1),
+                order.astype(jnp.int32),
+                bg_tex.reshape(B, 1).astype(jnp.int32),
+            ],
+            1,
+        ),
         SM_LEN,
     )
     omi_w = _pad128(K * 2 * OMI_SIZE)
@@ -513,12 +600,17 @@ def scene_render_pallas(
     omf_f = flat(omf.astype(jnp.float32), omf_w)
     tmi_f = flat(tmi.astype(jnp.int32), tm_w)
     tmf_f = flat(tmf.astype(jnp.float32), tm_w)
+    bg_w = _pad128(2 * NBT * 8)
+    bgc_f = flat(
+        jnp.pad(bgc.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, 2))),
+        bg_w,
+    )
 
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
-        in_specs=[any_spec] * 9,
+        in_specs=[any_spec] * 10,
         out_specs=(any_spec, any_spec),
         scratch_shapes=[
             pltpu.VMEM((H, W), jnp.int32),
@@ -529,8 +621,9 @@ def scene_render_pallas(
             pltpu.SMEM((1, omf_w), jnp.float32),
             pltpu.SMEM((1, tm_w), jnp.int32),
             pltpu.SMEM((1, tm_w), jnp.float32),
+            pltpu.SMEM((1, bg_w), jnp.float32),
             pltpu.SMEM((4, EP), jnp.float32),
-            pltpu.VMEM((P, SWs), jnp.int32),
+            pltpu.VMEM((P, max(SWs, SWb)), jnp.int32),
             pltpu.VMEM((3, P, ww), jnp.float32),
             pltpu.VMEM((ww, Pp), jnp.float32),
             pltpu.VMEM((ww, _round_up(wh, 128)), jnp.float32),
@@ -551,5 +644,6 @@ def scene_render_pallas(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(smeta, omi_f, omf_f, tmi_f, tmf_f, edges, slabs, bgf, flow_init)
+    )(smeta, omi_f, omf_f, tmi_f, tmf_f, bgc_f, edges, slabs, bgslabs,
+      flow_init)
     return frames, flow

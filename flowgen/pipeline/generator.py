@@ -100,13 +100,18 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
     scenes = sample_scene_batch(root, indices, cfg, n_warp_slots=n_slots)
     if use_fused_path(cfg):
         from ..compose.fused import render_batch_fused
-        from ..ops.pallas_scene import prepare_slabs
+        from ..ops.pallas_scene import prepare_bg_slabs, prepare_slabs
 
         if slabs is None:
             # Quad channels 0:3 are the unshifted image (texture.make_quad).
-            slabs = prepare_slabs(atlas[..., :3], cfg.height, cfg.width)
+            slabs = (
+                prepare_slabs(atlas[..., :3], cfg.height, cfg.width),
+                prepare_bg_slabs(atlas[..., :3]),
+            )
         slabs = jax.lax.optimization_barrier(slabs)
-        rendered = render_batch_fused(scenes, atlas, slabs, cfg)
+        rendered = render_batch_fused(
+            scenes, slabs[0], slabs[1], (atlas.shape[1], atlas.shape[2]), cfg
+        )
     else:
         rendered = render_batch(scenes, atlas, cfg, warp_bank)
     if cfg.compute_inverse_flow:
@@ -147,8 +152,13 @@ def make_slab_packer(cfg: DataGenConfig):
         return lambda atlas: None
     from ..ops.pallas_scene import prepare_slabs
 
+    from ..ops.pallas_scene import prepare_bg_slabs
+
     pack = jax.jit(
-        functools.partial(prepare_slabs, height=cfg.height, width=cfg.width)
+        lambda a: (
+            prepare_slabs(a, height=cfg.height, width=cfg.width),
+            prepare_bg_slabs(a),
+        )
     )
     cache = {}
 

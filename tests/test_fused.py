@@ -1,12 +1,14 @@
 """Scene-megakernel path (compose/fused.py + ops/pallas_scene.py) vs the
 windowed XLA path, run in Pallas interpreter mode on CPU.
 
-Flow and frame-0 must match exactly (identical exact-area coverage math and
-blend arithmetic); frame-1 textures go through the banded two-pass resampler
-whose deviations from the quad-gather path are (a) true AGG reflect in
-mirrored wrap regions — where the quad path's +1-neighbor deviation applies —
-and (b) interpolation along the shear direction under rotation, so frame 1 is
-compared statistically. On-device equivalence: tools/check_pallas_tpu.py.
+Flow must match the windowed path exactly (identical exact-area coverage and
+flow math). Frames are compared against a TRUE-reflect restatement of the
+windowed path (exact bilinear from the raw texture): the megakernel's slabs
+materialize AGG's reflect wrap exactly, whereas the quad-gather path carries
+a documented +1-neighbor deviation inside mirrored regions — so the fused
+path is the MORE faithful one, and agrees with the ideal reference to +-1
+intensity level (round knife-edges and sub-level two-pass shear only).
+On-device equivalence: tools/check_pallas_tpu.py.
 """
 
 import jax
@@ -18,7 +20,11 @@ import flowgen
 from flowgen.compose.fused import render_batch_fused
 from flowgen.compose.render import prepare_atlas, render_batch
 from flowgen.ops import texture
-from flowgen.ops.pallas_scene import fused_eligible, prepare_slabs
+from flowgen.ops.pallas_scene import (
+    fused_eligible,
+    prepare_bg_slabs,
+    prepare_slabs,
+)
 from flowgen.params.sampler import sample_scene_batch
 from flowgen.random.streams import root_key
 
@@ -35,39 +41,17 @@ def _setup(mode, seed=3, batch=2, inverse=False):
     )
     quad = jax.jit(prepare_atlas)(atlas)
     slabs = prepare_slabs(quad[..., :3], H, W)
+    bgslabs = prepare_bg_slabs(quad[..., :3])
     scenes = sample_scene_batch(
         root_key(seed), jnp.arange(batch), cfg, n_warp_slots=1
     )
-    return cfg, quad, slabs, scenes
+    src_hw = (atlas.shape[1], atlas.shape[2])
+    return cfg, quad, slabs, bgslabs, src_hw, scenes
 
 
-@pytest.mark.parametrize("mode", [1, 5, 7])
-def test_fused_matches_windowed(mode):
-    cfg, quad, slabs, scenes = _setup(mode)
-    ref = render_batch(scenes, quad, cfg)
-    out = render_batch_fused(scenes, quad, slabs, cfg, interpret=True)
-
-    # Flow: identical coverage math -> f32-rounding agreement only.
-    df = np.abs(np.asarray(out[2]) - np.asarray(ref[2]))
-    assert df.max() < 1e-3
-    # Frame 0: identical texture (direct window slice) and blend.
-    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
-    # Frame 1: statistical bound only — the bulk of the differences are the
-    # QUAD path's unflipped +1 neighbor in mirrored wrap regions (objects
-    # with large translations sample far outside the crop), not resampler
-    # error; see test_fused_frame1_matches_true_reflect for the tight check.
-    d1 = np.abs(np.asarray(out[1]) - np.asarray(ref[1]))
-    assert np.median(d1) <= 1.0
-    assert (d1.mean(-1) < 8).mean() > 0.85
-
-
-def test_fused_frame1_matches_true_reflect():
-    """Against a TRUE-reflect restatement of the old path (exact bilinear from
-    the raw texture), translation-only frame-1 sampling is exact: the only
-    systematic quad-path deviation is its unflipped +1 neighbor in mirrored
-    regions, which the slab materializes correctly."""
-    cfg, quad, slabs, scenes = _setup(1)
-
+def _true_reflect_render(scenes, quad, cfg):
+    """The windowed path with quad gathers replaced by exact bilinear reflect
+    sampling — the ideal both paths approximate."""
     orig = texture.sample_bilinear_quad
 
     def true_reflect(quadimg, x, y, wrap="reflect", channels=3):
@@ -77,18 +61,35 @@ def test_fused_frame1_matches_true_reflect():
 
     texture.sample_bilinear_quad = true_reflect
     try:
-        ref = render_batch(scenes, quad, cfg)
+        return render_batch(scenes, quad, cfg)
     finally:
         texture.sample_bilinear_quad = orig
-    out = render_batch_fused(scenes, quad, slabs, cfg, interpret=True)
-    d1 = np.abs(np.asarray(out[1]) - np.asarray(ref[1]))
-    assert d1.max() <= 1.0 + 1e-5  # round knife-edges only
+
+
+@pytest.mark.parametrize("mode", [1, 5, 7])
+def test_fused_matches_ideal(mode):
+    cfg, quad, slabs, bgslabs, src_hw, scenes = _setup(mode)
+    ref = render_batch(scenes, quad, cfg)
+    ideal = _true_reflect_render(scenes, quad, cfg)
+    out = render_batch_fused(scenes, slabs, bgslabs, src_hw, cfg,
+                             interpret=True)
+
+    # Flow: identical coverage math in both paths -> f32 rounding only.
+    df = np.abs(np.asarray(out[2]) - np.asarray(ref[2]))
+    assert df.max() < 1e-3
+    # Frames vs the exact-bilinear ideal: +-1 level (round knife-edges and
+    # sub-level two-pass shear).
+    for i in (0, 1):
+        d = np.abs(np.asarray(out[i]) - np.asarray(ideal[i]))
+        assert d.max() <= 1.0 + 1e-5, f"frame{i} max {d.max()}"
+        assert (d > 0.5).mean() < 0.02
 
 
 def test_fused_inverse_flow():
-    cfg, quad, slabs, scenes = _setup(7, inverse=True)
+    cfg, quad, slabs, bgslabs, src_hw, scenes = _setup(7, inverse=True)
     ref = render_batch(scenes, quad, cfg)
-    out = render_batch_fused(scenes, quad, slabs, cfg, interpret=True)
+    out = render_batch_fused(scenes, slabs, bgslabs, src_hw, cfg,
+                             interpret=True)
     df = np.abs(np.asarray(out[3]) - np.asarray(ref[3]))
     assert df.max() < 1e-3
 
