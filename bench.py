@@ -1,13 +1,24 @@
 """Throughput benchmark: 512x384 image-pair+flow samples/sec on one chip.
 
-Runs the reference's example configuration (mode 7, example-prototxt/
-train.prototxt) end-to-end on-device and reports steady-state generation
-throughput. The reference publishes no numbers (BASELINE.md); the baseline
-used for ``vs_baseline`` is the BASELINE.json north-star rate of 10,000
-samples/sec on a v5e-8, i.e. 1,250 samples/sec/chip.
+Default invocation runs the reference's example configuration (mode 7,
+example-prototxt/train.prototxt) end-to-end on-device over >=16 timed steps
+and reports steady-state generation throughput, plus secondary numbers for
+mode 1 (simplest recipe), mode 9 (nonrigid warp fields), and the pipelined
+rate (readback only after the last step — the per-step figure includes the
+host<->device round trip that a synchronized harness pays per batch; through
+the tunneled dev backend that overhead is ~45 ms/step, so the pipelined rate
+is the true device throughput a prefetching trainer sees).
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is against
+the BASELINE.json north-star rate of 10,000 samples/sec on a v5e-8, i.e.
+1,250 samples/sec/chip.
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N,
+   "modes": {...}, "pipelined": N, "batch": N, "steps": N}
+
+``python bench.py MODE [BATCH]`` runs a single mode (legacy form, minimal
+payload).
 """
 
 import json
@@ -17,45 +28,96 @@ import time
 BASELINE_PER_CHIP = 1250.0  # north star: 10k/s on v5e-8 (BASELINE.md)
 
 
-def main():
+def _measure(fn, probe, root, atlas, batch, n_steps, base=1):
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        float(probe(fn(root, jnp.int32(base + i), atlas)))
+    dt = time.perf_counter() - t0
+    return n_steps * batch / dt
+
+
+def _measure_pipelined(fn, probe, root, atlas, batch, n_steps, base=100):
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    outs = [fn(root, jnp.int32(base + i), atlas) for i in range(n_steps)]
+    float(probe(outs[-1]))
+    dt = time.perf_counter() - t0
+    return n_steps * batch / dt
+
+
+def _bench_mode(mode, batch, n_steps, atlas_np, pipelined=False):
     import jax
     import jax.numpy as jnp
 
     import flowgen
     from flowgen.random.streams import root_key
 
-    mode = int(sys.argv[1]) if len(sys.argv) > 1 else 7
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-
     cfg = flowgen.DataGenConfig(mode=mode, batch_size=batch, seed=0)
-    atlas = jnp.asarray(
-        flowgen.procedural_atlas(32, height=cfg.height, width=cfg.width),
-        jnp.float32,
-    )
+    atlas = jnp.asarray(atlas_np, jnp.float32)
     fn = flowgen.make_generate_fn(cfg)
     # Force a device->host scalar readback per step: block_until_ready does
     # not reliably block under tunneled PJRT backends, and async dispatch
     # otherwise makes the measurement meaningless.
     probe = jax.jit(lambda o: o["flow0"].ravel()[-1] + o["image1"].ravel()[-1])
     root = root_key(0)
+    float(probe(fn(root, jnp.int32(0), atlas)))  # warmup / compile
+    rate = _measure(fn, probe, root, atlas, batch, n_steps)
+    pipe = (
+        _measure_pipelined(fn, probe, root, atlas, batch, n_steps)
+        if pipelined
+        else None
+    )
+    return rate, pipe
 
-    # Warmup / compile.
-    float(probe(fn(root, jnp.int32(0), atlas)))
 
-    n_steps = 4
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        float(probe(fn(root, jnp.int32(1 + i), atlas)))
-    dt = time.perf_counter() - t0
+def main():
+    import flowgen
 
-    samples_per_sec = n_steps * batch / dt
+    argc = len(sys.argv)
+    batch = int(sys.argv[2]) if argc > 2 else 32
+    cfg = flowgen.DataGenConfig(batch_size=batch, seed=0)
+    atlas_np = flowgen.procedural_atlas(32, height=cfg.height, width=cfg.width)
+
+    if argc > 1:
+        # Legacy single-mode form.
+        mode = int(sys.argv[1])
+        n_steps = 8
+        rate, _ = _bench_mode(mode, batch, n_steps, atlas_np)
+        print(
+            json.dumps(
+                {
+                    "metric": f"512x384 image-pair+flow generation (mode {mode})",
+                    "value": round(rate, 2),
+                    "unit": "samples/sec/chip",
+                    "vs_baseline": round(rate / BASELINE_PER_CHIP, 4),
+                    "batch": batch,
+                    "steps": n_steps,
+                }
+            )
+        )
+        return
+
+    rate7, pipe7 = _bench_mode(7, batch, 16, atlas_np, pipelined=True)
+    rate1, _ = _bench_mode(1, batch, 6, atlas_np)
+    rate9, _ = _bench_mode(9, batch, 6, atlas_np)
     print(
         json.dumps(
             {
-                "metric": f"512x384 image-pair+flow generation (mode {mode})",
-                "value": round(samples_per_sec, 2),
+                "metric": "512x384 image-pair+flow generation (mode 7)",
+                "value": round(rate7, 2),
                 "unit": "samples/sec/chip",
-                "vs_baseline": round(samples_per_sec / BASELINE_PER_CHIP, 4),
+                "vs_baseline": round(rate7 / BASELINE_PER_CHIP, 4),
+                "modes": {
+                    "1": round(rate1, 2),
+                    "7": round(rate7, 2),
+                    "9": round(rate9, 2),
+                },
+                "pipelined": round(pipe7, 2),
+                "batch": batch,
+                "steps": 16,
             }
         )
     )

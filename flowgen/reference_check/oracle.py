@@ -159,11 +159,42 @@ def randomized_crop(src, out_h, out_w, angle_deg, zoom, sx, sy):
     return bilinear(rotated, u, v, wrap="reflect")
 
 
-def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True):
+def warp_by_field(img, field, channels=True):
+    """applyWarpFieldToTexture (cpp:237-252): out(x,y) = img(x + f.x, y + f.y)
+    bilinearly, zero outside. NaN field entries (flagged out-of-bounds warp
+    pixels) sample as zero displacement."""
+    h, w = img.shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx = np.nan_to_num(field[..., 0])
+    fy = np.nan_to_num(field[..., 1])
+    a = img if channels else img[..., None]
+    out = bilinear(a, xx + fx, yy + fy, wrap="zero")
+    return out if channels else out[..., 0]
+
+
+def _upscale2_field(field, out_h, out_w):
+    """The MODE-9 background field: the WxH crop resized x2 with magnitudes
+    x2 (cpp:1194-1202). Sampling convention matches the TPU renderer's
+    implicit form (value at big coord q = 2*field((q+0.5)/2 - 0.5)); CImg's
+    literal resize convention is within half a source texel of this."""
+    yy, xx = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    return 2.0 * bilinear(
+        np.nan_to_num(field), (xx + 0.5) / 2.0 - 0.5, (yy + 0.5) / 2.0 - 0.5,
+        wrap="clamp",
+    )
+
+
+def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
+                        warp_bank=None):
     """Render one scene (numpy-converted Scene pytree, no batch dim) the
     reference way. Returns (image0, image1, flow0) float arrays.
 
-    Supports the rigid modes (no warp fields).
+    ``warp_bank``: optional dict {"flow": (N,H,W,2), "iflow": ...} numpy for
+    MODE 9; nonrigid semantics follow the reference literally — frame-1 u8
+    masks and the affine-warped texture are bilinearly resampled through the
+    inverse field per COMPONENT (renderMasks cpp:370-386, applied before the
+    composite algebra), and flow adds the forward field sampled at the moved
+    position (getPointFlow cpp:388-407).
     """
     W, H = width, height
     bg = scene_np["background"]
@@ -171,6 +202,7 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True):
     prims = scene_np["prims"]
     T = atlas_np.shape[0]
     atlas_np = atlas_np.astype(np.float64)
+    bg_warp = warp_bank is not None and bool(bg["warp"])
 
     # --- Background object (MovingObjectBackground, cpp:654-718) ---
     src = atlas_np[int(bg["tex_id"]) % T]
@@ -186,6 +218,13 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True):
     sx_c = m_inv[0, 0] * xx + m_inv[0, 1] * yy + m_inv[0, 2]
     sy_c = m_inv[1, 0] * xx + m_inv[1, 1] * yy + m_inv[1, 2]
     big1 = bilinear(big0, sx_c, sy_c, wrap="reflect")
+    if bg_warp:
+        slot = int(bg["warp_slot"])
+        bgf_big = _upscale2_field(warp_bank["flow"][slot], 2 * H, 2 * W)
+        bgi_big = _upscale2_field(warp_bank["iflow"][slot], 2 * H, 2 * W)
+        # renderTransformedTexture then applyWarpFieldToTexture (cpp:341-346):
+        # the affine-warped big texture is resampled through the inverse field.
+        big1 = warp_by_field(big1, bgi_big)
     # center crop (cpp:680-681)
     frame0 = np.round(big0[H // 2 : H // 2 + H, W // 2 : W // 2 + W]).astype(np.float64)
     frame1 = np.round(big1[H // 2 : H // 2 + H, W // 2 : W // 2 + W]).astype(np.float64)
@@ -197,6 +236,13 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True):
     px1 = m_total[0, 0] * qx + m_total[0, 1] * qy + m_total[0, 2]
     py1 = m_total[1, 0] * qx + m_total[1, 1] * qy + m_total[1, 2]
     flow = np.stack([px1 - qx, py1 - qy], -1)
+    if bg_warp:
+        # Forward field at the moved position, in big coords, gated on
+        # landing inside the 2Wx2H field (cpp:714-717).
+        inb = (px1 >= 0) & (px1 < 2 * W) & (py1 >= 0) & (py1 < 2 * H)
+        add = bilinear(bgf_big, px1, py1, wrap="zero")
+        flow[..., 0] += np.where(inb, add[..., 0], 0.0)
+        flow[..., 1] += np.where(inb, add[..., 1], 0.0)
 
     # --- Foreground objects, ascending id (cpp:1216-1226) ---
     K = objs["valid"].shape[0]
@@ -205,8 +251,15 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True):
         if not objs["valid"][k]:
             continue
         motion = objs["motion"][k]
+        k_warp = warp_bank is not None and bool(objs["warp"][k])
+        if k_warp:
+            slot = int(objs["warp_slot"][k])
+            wf = np.nan_to_num(warp_bank["flow"][slot]).astype(np.float64)
+            wi = np.nan_to_num(warp_bank["iflow"][slot]).astype(np.float64)
         tex0 = _center_crop(atlas_np[int(objs["tex_id"][k]) % T], H, W)
-        # masks via component algebra
+        # masks via component algebra; MODE 9 warps each component's frame-1
+        # masks BEFORE combining (components run base renderMasks themselves,
+        # cpp:370-386, before Composite::renderMasks merges them).
         aa0 = np.zeros((H, W))
         in0 = np.zeros((H, W), bool)
         aa1 = np.zeros((H, W))
@@ -224,6 +277,15 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True):
                 )
             c_aa0, c_in0 = polygon_aa(apply_affine(intr_c, local), cxx, cyy)
             c_aa1, c_in1 = polygon_aa(apply_affine(tr1, local), cxx, cyy)
+            if k_warp:
+                # u8-mask resampling through the inverse field; the binary
+                # mask stays "fully covering" only where the interpolated
+                # 0/255 mask remains 255 (blit tests ==255, cpp:765-773).
+                c_aa1 = warp_by_field(c_aa1, wi, channels=False)
+                c_in1 = (
+                    warp_by_field(c_in1.astype(np.float64), wi, channels=False)
+                    >= 1.0 - 0.5 / 255.0
+                )
             if prims["additive"][k, c]:
                 aa0 = 1 - (1 - aa0) * (1 - c_aa0)
                 in0 = in0 | c_in0
@@ -235,11 +297,14 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True):
                 aa1 = aa1 * (1 - c_aa1)
                 in1 = in1 & ~c_in1
 
-        # frame-1 texture: backward warp of tex0 by the motion (cpp:337-348)
+        # frame-1 texture: backward warp of tex0 by the motion (cpp:337-348),
+        # then through the inverse field for deforming objects (cpp:341-346).
         minv = invert_affine(motion)
         tx = minv[0, 0] * ixx + minv[0, 1] * iyy + minv[0, 2]
         ty = minv[1, 0] * ixx + minv[1, 1] * iyy + minv[1, 2]
         tex1 = bilinear(tex0, tx, ty, wrap="reflect")
+        if k_warp:
+            tex1 = warp_by_field(tex1, wi)
 
         m0 = aa0 if use_aa else in0.astype(np.float64)
         m1 = aa1 if use_aa else in1.astype(np.float64)
@@ -249,6 +314,14 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True):
         # flow where frame-0 mask fully covers (cpp:762-818)
         ox = motion[0, 0] * ixx + motion[0, 1] * iyy + motion[0, 2] - ixx
         oy = motion[1, 0] * ixx + motion[1, 1] * iyy + motion[1, 2] - iyy
+        if k_warp:
+            # Extra field sampled at the moved position, inside the frame
+            # (getPointFlow, cpp:398-406).
+            mx, my = ox + ixx, oy + iyy
+            inb = (mx >= 0) & (mx < W) & (my >= 0) & (my < H)
+            add = bilinear(wf, mx, my, wrap="zero")
+            ox = ox + np.where(inb, add[..., 0], 0.0)
+            oy = oy + np.where(inb, add[..., 1], 0.0)
         flow[..., 0] = np.where(in0, ox, flow[..., 0])
         flow[..., 1] = np.where(in0, oy, flow[..., 1])
 
