@@ -42,11 +42,11 @@ def _cdiv(a, b):
     return (a + b - 1) // b
 
 
-def _tile_grid(lo, hi, on, frame_dim, win, snap):
+def _tile_grid(lo, hi, on, frame_dim, win, snap, margin):
     """Per-object tile grid along one axis. ``lo``/``hi``: [K] bbox bounds,
-    ``win``: tile extent, ``snap``: alignment (8 sublanes / 128 lanes).
-    Returns (anchor, n_tiles) int32 [K]."""
-    margin = render_mod.AA_MARGIN + 1.0
+    ``win``: tile extent, ``snap``: alignment (8 sublanes / 128 lanes),
+    ``margin``: [K] cover margin (AA feather; + the warp displacement bound
+    for deforming objects). Returns (anchor, n_tiles) int32 [K]."""
     cov_lo = jnp.clip(jnp.floor(lo - margin), 0, frame_dim).astype(jnp.int32)
     cov_hi = jnp.clip(jnp.ceil(hi + margin) + 1, 0, frame_dim).astype(jnp.int32)
     anchor = cov_lo & ~(snap - 1)
@@ -124,20 +124,24 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
 
     (lo0, hi0), (lo1, hi1) = render_mod._all_bboxes(prims, objs.motion)
     n_prims = jnp.sum(prims.valid, axis=1).astype(jnp.int32)
+    has_warp = cfg.mode_spec.warp_p > 0.0
+    warp_k = (objs.warp & objs.valid) if has_warp else jnp.zeros_like(objs.valid)
+    margin0 = jnp.full((K,), render_mod.AA_MARGIN + 1.0)
+    # Frame-1 cover must include the displaced mask support for deforming
+    # objects (the inverse field moves coverage by up to WARP_MARGIN px).
+    margin1 = margin0 + jnp.where(warp_k, render_mod.WARP_MARGIN, 0.0)
     on0 = objs.valid & ~render_mod._offscreen(
         lo0, hi0, render_mod.AA_MARGIN, H, W
     )
-    on1 = objs.valid & ~render_mod._offscreen(
-        lo1, hi1, render_mod.AA_MARGIN, H, W
-    )
+    on1 = objs.valid & ~render_mod._offscreen(lo1, hi1, margin1, H, W)
     process = on0 | on1
     order = jnp.argsort(~process, stable=True).astype(jnp.int32)
     count = jnp.sum(process).astype(jnp.int32)
 
     # --- tile grids (both frames) ---
-    def tiles(lo, hi, on):
-        ay, nty = _tile_grid(lo[:, 1], hi[:, 1], on, H, wh, 8)
-        ax, ntx = _tile_grid(lo[:, 0], hi[:, 0], on, W, ww, 128)
+    def tiles(lo, hi, on, margin):
+        ay, nty = _tile_grid(lo[:, 1], hi[:, 1], on, H, wh, 8, margin)
+        ax, ntx = _tile_grid(lo[:, 0], hi[:, 0], on, W, ww, 128, margin)
         t = jnp.arange(ps.MAX_TILES)
         ty = t[None, :] // jnp.maximum(ntx, 1)[:, None]   # [K,T]
         tx = t[None, :] % jnp.maximum(ntx, 1)[:, None]
@@ -156,8 +160,8 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
         ).astype(jnp.int32)                               # [K,T,8]
         return tmi, nty, ntx
 
-    tmi0, nty0, ntx0 = tiles(lo0, hi0, on0)
-    tmi1, nty1, ntx1 = tiles(lo1, hi1, on1)
+    tmi0, nty0, ntx0 = tiles(lo0, hi0, on0, margin0)
+    tmi1, nty1, ntx1 = tiles(lo1, hi1, on1, margin1)
     tmi = jnp.stack([tmi0, tmi1], axis=1)                 # [K,2,T,8]
 
     # --- per-object meta ---
@@ -170,13 +174,16 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
     tex_id = objs.tex_id % n_textures
     zeros = jnp.zeros_like(tex_id)
 
+    warp_slot = objs.warp_slot.astype(jnp.int32)
+
     def omi_frame(on, nty, ntx):
         cols = [
             on.astype(jnp.int32), nty, ntx, tex_id,
-            n_prims, add_bits, poly_bits, zeros,
+            n_prims, add_bits, poly_bits, warp_k.astype(jnp.int32),
         ]
         cols += [prims.n_edges[:, c].astype(jnp.int32) for c in range(C)]
-        cols += [zeros] * (ps.OMI_SIZE - len(cols))
+        cols += [zeros] * (ps.OMI_SIZE - 1 - len(cols))
+        cols += [warp_slot]
         return jnp.stack(cols, axis=-1)                   # [K,OMI_SIZE]
 
     omi = jnp.stack(
@@ -249,17 +256,32 @@ def _bg_tile_coeffs(scene: Scene, cfg: DataGenConfig, src_h: int, src_w: int):
 
 
 def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
-                       cfg: DataGenConfig, interpret: bool = False):
+                       cfg: DataGenConfig, interpret: bool = False,
+                       quad_atlas=None, warp_bank=None, warp_aux=None):
     """Fused render of a batch: frames entirely in the scene megakernel
     (background + objects), flow init in XLA. ``src_hw``: the texture
-    sources' (height, width) — the bg slabs' unpadded dims. Output signature
-    matches render.render_batch."""
+    sources' (height, width) — the bg slabs' unpadded dims. For nonrigid
+    modes pass ``quad_atlas`` + ``warp_bank`` + ``warp_aux``
+    (warpfields.generator.make_warp_aux): object deformation runs in-kernel;
+    the background takes the XLA warp path and enters pre-rendered. Output
+    signature matches render.render_batch."""
     H, W = cfg.height, cfg.width
     spec = cfg.mode_spec
+    has_warp = spec.warp_p > 0.0
+    bgf = None
 
-    fx, fy, ifx, ify = jax.vmap(
-        lambda s: render_mod.background_flow(s, cfg)
-    )(scenes)
+    if has_warp:
+        f0, f1, fx, fy, ifx, ify = jax.lax.map(
+            lambda s: render_mod.background_pass(s, quad_atlas, cfg, warp_bank),
+            scenes,
+        )
+        from ..ops.pallas_resample import pack_rgb_i32
+
+        bgf = jnp.stack([pack_rgb_i32(f0), pack_rgb_i32(f1)], axis=1)
+    else:
+        fx, fy, ifx, ify = jax.vmap(
+            lambda s: render_mod.background_flow(s, cfg)
+        )(scenes)
     if cfg.compute_inverse_flow:
         flow_init = jnp.stack([fx, fy, ifx, ify], axis=1)
     else:
@@ -276,7 +298,7 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
     P, xs, ys = ps.resample_params(spec, H, W)
     frames, flow = ps.scene_render_pallas(
         count, order, bg_tex, omi, omf, tmi, tmf, bgc, edges,
-        slabs, bgslabs, flow_init,
+        slabs, bgslabs, flow_init, warp_aux, bgf,
         spec_key=(P, xs, ys, H, W),
         use_aa=cfg.use_antialiasing,
         inverse_flow=cfg.compute_inverse_flow,

@@ -307,9 +307,14 @@ def background_pass(scene: Scene, atlas: jax.Array, cfg: DataGenConfig,
                                        (y + 0.5) / 2.0 - 0.5)
             return 2.0 * fx, 2.0 * fy
 
-        idx, idy = big_field_at(bgi, qx, qy)
-        wq_x = jnp.where(bg.warp, qx + idx, qx)
-        wq_y = jnp.where(bg.warp, qy + idy, qy)
+        # cond, not where: only ~bg_warp_p of samples deform, and the field
+        # gathers (3M+ rows over the 2Wx2H grid) are the warp path's single
+        # biggest XLA cost. Under lax.map the untaken branch is skipped.
+        def displaced(_):
+            idx, idy = big_field_at(bgi, qx, qy)
+            return qx + idx, qy + idy
+
+        wq_x, wq_y = lax.cond(bg.warp, displaced, lambda _: (qx, qy), None)
     else:
         wq_x, wq_y = qx, qy
     bx, by = affine.apply_xy(bg_big_inv, wq_x, wq_y)
@@ -322,11 +327,18 @@ def background_pass(scene: Scene, atlas: jax.Array, cfg: DataGenConfig,
     if has_warp:
         # Forward warp-field contribution at the moved position, in big coords,
         # gated on landing inside the 2Wx2H field (cpp:714-717).
-        mx, my = fqx + cx, fqy + cy
-        wfx, wfy = big_field_at(bgf, mx, my)
-        inb = (mx >= 0) & (mx < 2 * W) & (my >= 0) & (my < 2 * H) & bg.warp
-        flow_x = flow_x + jnp.where(inb, wfx, 0.0)
-        flow_y = flow_y + jnp.where(inb, wfy, 0.0)
+        def flow_displaced(_):
+            mx, my = fqx + cx, fqy + cy
+            wfx, wfy = big_field_at(bgf, mx, my)
+            inb = (mx >= 0) & (mx < 2 * W) & (my >= 0) & (my < 2 * H)
+            return jnp.where(inb, wfx, 0.0), jnp.where(inb, wfy, 0.0)
+
+        afx, afy = lax.cond(
+            bg.warp, flow_displaced,
+            lambda _: (jnp.zeros_like(flow_x), jnp.zeros_like(flow_y)), None,
+        )
+        flow_x = flow_x + afx
+        flow_y = flow_y + afy
 
     frame0 = jnp.round(frame0)
     frame1 = jnp.round(frame1)

@@ -385,3 +385,168 @@ def two_pass_reference(slab, transform, x0, y0, wh, ww, P):
         return b0 + (b1 - b0) * fy
 
     return jnp.stack([chan(16), chan(8), chan(0)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# f32 single-plane variants + bounded displacement warp (mode-9 machinery)
+# ---------------------------------------------------------------------------
+
+
+def resample_rows_f32(
+    rows_ref,          # VMEM (P, SWp) f32: field rows [w0, w0+P) pre-staged
+    w0, coeffs, x0, y0,
+    wh: int, ww: int, P: int,
+    t1_ref,            # VMEM scratch (P, ww) f32
+    t1t_ref,           # VMEM scratch (ww, Pp) f32
+    outt_ref,          # VMEM scratch (ww, round_up(wh, 128)) f32
+    x_tiles_scan: int, y_tiles_scan: int,
+    sw: int = None,
+):
+    """Single-channel f32 twin of :func:`resample_rows_in_kernel` — used to
+    sample smooth warp-field planes through an affine (forward-field flow
+    lookups at moved positions, x2-upscaled background fields). Returns one
+    (wh, ww) f32 plane."""
+    A, B, C, c, d, f = coeffs
+    SWp = rows_ref.shape[1] if sw is None else sw
+    Pp = t1t_ref.shape[1]
+    XCHUNK = 128 if ww >= 128 else ww
+    w0f = w0.astype(jnp.float32)
+
+    for xt in range(ww // 128):
+        xg = (
+            lax.broadcasted_iota(jnp.int32, (P, 128), 1).astype(jnp.float32)
+            + (x0 + xt * 128).astype(jnp.float32)
+        )
+        wg = (
+            lax.broadcasted_iota(jnp.int32, (P, 128), 0).astype(jnp.float32)
+            + w0f
+        )
+        u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
+        uf = jnp.floor(u)
+        fx = u - uf
+        u0i = uf.astype(jnp.int32)
+        u1i = jnp.minimum(u0i + 1, SWp - 1)
+        p0, p1 = _banded_tap_pair(
+            lambda base: rows_ref[:, pl.ds(base, 128)],
+            u0i, u1i, x_tiles_scan, jnp.zeros((P, 128), jnp.float32),
+            SWp // 128,
+        )
+        t1_ref[:, xt * 128 : (xt + 1) * 128] = p0 + (p1 - p0) * fx
+
+    whp = _round_up(wh, 128)
+    t1t_ref[:, :P] = t1_ref[:].T
+    for yt in range(whp // 128):
+        for xc in range(ww // XCHUNK):
+            yg = (
+                lax.broadcasted_iota(jnp.int32, (XCHUNK, 128), 1)
+                .astype(jnp.float32)
+                + (y0 + yt * 128).astype(jnp.float32)
+            )
+            xg = (
+                lax.broadcasted_iota(jnp.int32, (XCHUNK, 128), 0)
+                .astype(jnp.float32)
+                + (x0 + xc * XCHUNK).astype(jnp.float32)
+            )
+            v = c * xg + d * yg + f - w0f
+            v = jnp.clip(v, 0.0, float(P - 1))
+            vf = jnp.floor(v)
+            fy = v - vf
+            v0i = vf.astype(jnp.int32)
+            v1i = jnp.minimum(v0i + 1, P - 1)
+            q0, q1 = _banded_tap_pair(
+                lambda base, _xc=xc: t1t_ref[
+                    _xc * XCHUNK : (_xc + 1) * XCHUNK, pl.ds(base, 128)
+                ],
+                v0i, v1i, y_tiles_scan,
+                jnp.zeros((XCHUNK, 128), jnp.float32),
+                Pp // 128,
+            )
+            outt_ref[
+                xc * XCHUNK : (xc + 1) * XCHUNK, yt * 128 : (yt + 1) * 128
+            ] = q0 + (q1 - q0) * fy
+    return outt_ref[:, :wh].T
+
+
+def _banded_lerp_rows(block_rows, u, n_tiles_scan: int, n_src_tiles: int,
+                      width_valid: float):
+    """Horizontal bilinear taps at per-element positions ``u`` over (R, cols)
+    rows accessed via ``block_rows(base)`` -> (R, 128). Positions outside
+    [0, width_valid-1] produce 0 (the displacement warps zero-pad, matching
+    applyWarpFieldToTexture's boundary, cpp:237-252)."""
+    ok = (u >= 0.0) & (u <= width_valid - 1.0)
+    uc = jnp.clip(u, 0.0, width_valid - 1.0)
+    uf = jnp.floor(uc)
+    fx = uc - uf
+    u0 = uf.astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, jnp.int32(width_valid - 1))
+    p0, p1 = _banded_tap_pair(
+        block_rows, u0, u1, n_tiles_scan,
+        jnp.zeros(u.shape, jnp.float32), n_src_tiles,
+    )
+    return jnp.where(ok, p0 + (p1 - p0) * fx, 0.0)
+
+
+def displace_warp_in_kernel(
+    src_ref,          # VMEM (whE, wwE) f32 source plane, frame origin (ey0, ex0)
+    gdisp,            # (whE, ww) f32: pass-1 x-displacement at (col, row w)
+    vdisp,            # (wh, ww) f32: pass-2 y-displacement at output pixels
+    x0, y0,           # output window origin (frame coords, traced)
+    ex0, ey0,         # expanded source origin (frame coords, traced)
+    wh: int, ww: int, whE: int, wwE: int,
+    tmp_ref,          # VMEM scratch (whE, ww) f32
+    tmpT_ref,         # VMEM scratch (ww, round_up(whE, 128)) f32
+    outT_ref,         # VMEM scratch (ww, round_up(wh, 128)) f32
+    x_scan: int = 3, y_scan: int = 3,
+):
+    """Separable warp by a bounded smooth displacement field:
+    ``out(p) = src(x + dx(p), y + dy(p))`` for |d| <= SLAB margin of the
+    expansion, evaluated as two banded lane-gather passes. Exact bilinear
+    when ``gdisp`` is the column-inverse-corrected x-field (built per bank
+    epoch by warpfields.generator.make_warp_aux; the correction solves
+    w = y + dy(x, y) per column so pass 1 reads x-displacements at the row
+    pass 2 will fetch). Used for mode-9 mask/texture deformation
+    (renderMasks / applyWarpFieldToTexture, cpp:237-252, 370-386)."""
+    # ---- pass 1: tmp[w, x] = src(x + gdisp[w, x], ey0 + w) ----
+    for xt in range(ww // 128):
+        u_frame = (
+            lax.broadcasted_iota(jnp.int32, (whE, 128), 1).astype(jnp.float32)
+            + (x0 + xt * 128).astype(jnp.float32)
+            + gdisp[:, xt * 128 : (xt + 1) * 128]
+        )
+        u_loc = u_frame - ex0.astype(jnp.float32)
+        tmp_ref[:, xt * 128 : (xt + 1) * 128] = _banded_lerp_rows(
+            lambda base: src_ref[:, pl.ds(base, 128)],
+            u_loc, x_scan, wwE // 128, float(wwE),
+        )
+
+    # ---- pass 2 on the transpose: out[y, x] = lerp rows of tmp at v ----
+    whEp = tmpT_ref.shape[1]
+    tmpT_ref[:, :whE] = tmp_ref[:].T
+    whp = _round_up(wh, 128)
+    # vdisp in (x, y) orientation, zero-padded to the 128-block grid.
+    vdT = vdisp.T
+    if whp > wh:
+        vdT = jnp.concatenate(
+            [vdT, jnp.zeros((ww, whp - wh), jnp.float32)], axis=1
+        )
+    for yt in range(whp // 128):
+        for xc in range(ww // 128):
+            ysz = 128
+            v_frame = (
+                lax.broadcasted_iota(jnp.int32, (128, ysz), 1)
+                .astype(jnp.float32)
+                + (y0 + yt * 128).astype(jnp.float32)
+            )
+            yl = yt * 128
+            xl = xc * 128
+            vd = vdT[xl : xl + 128, yl : yl + 128]
+            v_loc = v_frame + vd - ey0.astype(jnp.float32)
+            outT_ref[xl : xl + 128, yt * 128 : (yt + 1) * 128] = (
+                _banded_lerp_rows(
+                    lambda base, _xc=xc: tmpT_ref[
+                        _xc * 128 : (_xc + 1) * 128, pl.ds(base, 128)
+                    ],
+                    v_loc, y_scan, whEp // 128, float(whE),
+                )
+            )
+    return outT_ref[:, :wh].T

@@ -66,6 +66,11 @@ MAX_TILES = MAX_TILES_Y * MAX_TILES_X
 # Reflect-padded slab margin: must exceed half the source footprint diameter
 # of one window tile (window diag * max inverse scale / 2).
 SLAB_MARGIN = 256
+# Mode-9 displacement bound (max |iflow| of composed warp crops, ~40 px) and
+# the expansion margins of warp-object frame-1 evaluation grids.
+WARP_D = 48
+WARP_EY = 56    # row expansion per side (multiple of 8, >= WARP_D + 2)
+WARP_EX = 64    # lane expansion per side (no alignment constraint: scratch)
 
 # objmeta_i layout (per object, per frame)
 OMI_ON = 0          # window pass needed for this frame
@@ -75,7 +80,9 @@ OMI_TEX = 3         # texture id (pre-wrapped to atlas size)
 OMI_NPRIMS = 4
 OMI_ADD_BITS = 5    # additive flags, bit c = prim c
 OMI_POLY_BITS = 6   # is_poly flags
+OMI_WARP = 7        # nonrigid deformation flag (mode 9)
 OMI_NEDGES = 8      # n_edges[0..6] at 8..14
+OMI_SLOT = 15       # warp-bank slot
 OMI_SIZE = 16
 
 # objmeta_f layout (per object, per frame)
@@ -179,14 +186,18 @@ def mode_envelope(spec, height: int, width: int):
     return rot, 1.0 / s_lo
 
 
-def fused_eligible(spec, height: int, width: int) -> bool:
+def fused_eligible(spec, height: int, width: int,
+                   inverse_flow: bool = False) -> bool:
     """Static check: can this mode run through the scene kernel?
-    Needs the two-pass resampler's rotation bound (< 45 deg total), no
-    nonrigid warps (mode 9 falls back), and alignment-friendly frame dims."""
+    Needs the two-pass resampler's rotation bound (< 45 deg total) and
+    alignment-friendly frame dims. Nonrigid modes are eligible (object
+    deformation runs in-kernel; the background goes through the XLA warp
+    path) except when inverse flow is requested (the inverse-field mask
+    chain stays on the windowed path)."""
     rot, _ = mode_envelope(spec, height, width)
     return (
-        spec.warp_p == 0.0
-        and rot < math.pi / 4 - 1e-3
+        rot < math.pi / 4 - 1e-3
+        and not (spec.warp_p > 0.0 and inverse_flow)
         and height % 8 == 0
         and width % 128 == 0
         and height >= 8
@@ -230,9 +241,14 @@ def _pack3f(r, g, b):
 
 def _make_scene_kernel(
     H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
-    inverse_flow, debug_level=3,
+    inverse_flow, has_warp=False, debug_level=3,
 ):
     wh, ww = min(WIN_H, H), min(WIN_W, W)
+    whE = min(wh + 2 * WARP_EY, H)
+    wwE = min(ww + 2 * WARP_EX, W)
+    whEp = _round_up(whE, 128)
+    Wp = _round_up(W, 128)
+    IN_THR = 1.0 - 0.5 / 255.0  # warped-binary threshold (cpp:765-773)
     # Static background tile grid (full-frame cover; the trailing tile clamps
     # into the frame and overwrites the overlap deterministically).
     bg_tiles = [
@@ -241,29 +257,26 @@ def _make_scene_kernel(
         for tx in range(-(-W // ww))
     ]
     NBT = len(bg_tiles)
+    # Warp-object texture sub-tile origins covering the expanded grid.
+    LYS = [0] if whE == wh else [0, whE - wh]
+    LXS = [0] if wwE == ww else [0, wwE - ww]
 
-    def kernel(
-        smeta_hbm,      # ANY (B, 1, 128) i32: [count, order[K], bg_tex]
-        omi_hbm,        # ANY (B, 1, K*2*OMI_SIZE) i32
-        omf_hbm,        # ANY (B, 1, K*2*OMF_SIZE) f32
-        tmi_hbm,        # ANY (B, 1, pad128(K*2*MAX_TILES*TMI_SIZE)) i32
-        tmf_hbm,        # ANY (B, 1, same) f32
-        bgm_hbm,        # ANY (B, 1, pad128(2*NBT*8)) f32 bg tile coeffs
-        edges_hbm,      # ANY (B, K, 2, 4, EP) f32
-        slabs_hbm,      # ANY (T, SHs, SWs) i32 object-crop slabs
-        bgslabs_hbm,    # ANY (T, SHb, SWb) i32 full-source slabs
-        flow_hbm,       # ANY (B, 2 or 4, H, W) f32 flow init (+ iflow init)
-        frames_out,     # ANY (B, 2, H, W) i32
-        flow_out,       # ANY (B, 2 or 4, H, W) f32
-        acc0, acc1,     # VMEM (H, W) i32
-        accf,           # VMEM (2 or 4, H, W) f32
-        smeta, omi, omf, tmi, tmf, bgm,  # SMEM flat per-sample meta
-        edges_smem,     # SMEM (4, EP) f32
-        rows,           # VMEM (P, max(SWs, SWb)) i32
-        t1, t1t, outt,  # resample scratch
-        cov_aa, cov_in, cov_area,  # VMEM (wh, ww) f32/i32/f32
-        sems,           # DMA semaphore array (8,)
-    ):
+    def kernel(*refs):
+        (smeta_hbm, omi_hbm, omf_hbm, tmi_hbm, tmf_hbm, bgm_hbm, edges_hbm,
+         slabs_hbm, bgslabs_hbm, flow_hbm) = refs[:10]
+        i = 10
+        if has_warp:
+            aux_hbm = refs[i]; bgf_hbm = refs[i + 1]; i += 2
+        frames_out, flow_out = refs[i], refs[i + 1]; i += 2
+        (acc0, acc1, accf, smeta, omi, omf, tmi, tmf, bgm, edges_smem,
+         rows, t1, t1t, outt, cov_aa, cov_in, cov_area) = refs[i:i + 17]
+        i += 17
+        if has_warp:
+            (covE_aa, covE_in, covE_area, texE, igbuf, ivbuf,
+             dtmp, dtmpT, frows, ft1) = refs[i:i + 10]
+            i += 10
+        sems = refs[i]
+
         b = pl.program_id(0)
 
         # ---- load flow init + per-sample meta (all DMAs overlap) ----
@@ -276,37 +289,15 @@ def _make_scene_kernel(
             pltpu.make_async_copy(tmf_hbm.at[b], tmf, sems.at[7]),
             pltpu.make_async_copy(bgm_hbm.at[b], bgm, sems.at[0]),
         ]
+        if has_warp:
+            loads += [
+                pltpu.make_async_copy(bgf_hbm.at[b, 0], acc0, sems.at[1]),
+                pltpu.make_async_copy(bgf_hbm.at[b, 1], acc1, sems.at[2]),
+            ]
         for cp in loads:
             cp.start()
         for cp in loads:
             cp.wait()
-
-        # ---- background: resample both frames straight into the
-        # accumulators (MovingObjectBackground, cpp:654-688). Full-frame
-        # cover, so plain overwrite — no blending, no prior contents. ----
-        btid = smeta[0, 1 + K]
-        for frame, acc_frame in ((0, acc0), (1, acc1)):
-            for t, (y0s, x0s) in enumerate(bg_tiles):
-                coeffs = tuple(
-                    bgm[0, (frame * NBT + t) * 8 + j] for j in range(6)
-                )
-                w0 = resamp.pass1_row_start(
-                    coeffs, jnp.int32(x0s), jnp.int32(y0s), wh, ww, P, SHb
-                )
-                bdma = pltpu.make_async_copy(
-                    bgslabs_hbm.at[btid, pl.ds(w0, P), :],
-                    rows.at[:, :SWb],
-                    sems.at[1],
-                )
-                bdma.start()
-                bdma.wait()
-                tr, tg, tb = resamp.resample_rows_in_kernel(
-                    rows, w0, coeffs, jnp.int32(x0s), jnp.int32(y0s),
-                    wh, ww, P, t1, t1t, outt, xscan, yscan, sw=SWb,
-                )
-                acc_frame[y0s : y0s + wh, x0s : x0s + ww] = _pack3f(
-                    jnp.round(tr), jnp.round(tg), jnp.round(tb)
-                )
 
         # Flat SMEM accessors (metadata layouts in the module header).
         def OMI(k, frame, field):
@@ -321,62 +312,63 @@ def _make_scene_kernel(
         def TMF(k, frame, t, field):
             return tmf[0, ((k * 2 + frame) * MAX_TILES + t) * TMF_SIZE + field]
 
-        def do_tile(k, frame, t, acc_frame):
-            if debug_level < 2:
-                return
-            y0 = pl.multiple_of(TMI(k, frame, t, TMI_Y0) & ~7, 8)
-            x0 = pl.multiple_of(TMI(k, frame, t, TMI_X0) & ~127, 128)
-            tid = OMI(k, frame, OMI_TEX)
+        if not has_warp:
+            # ---- background: resample both frames straight into the
+            # accumulators (MovingObjectBackground, cpp:654-688). Full-frame
+            # cover, plain overwrite. With warps the background runs through
+            # the XLA warp path and arrives pre-packed via bgf. ----
+            btid = smeta[0, 1 + K]
+            for frame, acc_frame in ((0, acc0), (1, acc1)):
+                for t, (y0s, x0s) in enumerate(bg_tiles):
+                    coeffs = tuple(
+                        bgm[0, (frame * NBT + t) * 8 + j] for j in range(6)
+                    )
+                    w0 = resamp.pass1_row_start(
+                        coeffs, jnp.int32(x0s), jnp.int32(y0s), wh, ww, P, SHb
+                    )
+                    bdma = pltpu.make_async_copy(
+                        bgslabs_hbm.at[btid, pl.ds(w0, P), :],
+                        rows.at[:, :SWb],
+                        sems.at[1],
+                    )
+                    bdma.start()
+                    bdma.wait()
+                    tr, tg, tb = resamp.resample_rows_in_kernel(
+                        rows, w0, coeffs, jnp.int32(x0s), jnp.int32(y0s),
+                        wh, ww, P, t1, t1t, outt, xscan, yscan, sw=SWb,
+                    )
+                    acc_frame[y0s : y0s + wh, x0s : x0s + ww] = _pack3f(
+                        jnp.round(tr), jnp.round(tg), jnp.round(tb)
+                    )
 
-            # --- texture for this window ---
-            if frame == 0:
-                # frame-aligned center crop: slab offset = margin + window
-                sy = pl.multiple_of((SLAB_MARGIN + y0) & ~7, 8)
-                sx = pl.multiple_of((SLAB_MARGIN + x0) & ~127, 128)
-                tex_dma = pltpu.make_async_copy(
-                    slabs_hbm.at[tid, pl.ds(sy, wh), pl.ds(sx, ww)],
-                    rows.at[:wh, :ww],
-                    sems.at[1],
-                )
-                tex_dma.start()
-            else:
-                coeffs = tuple(TMF(k, frame, t, j) for j in range(6))
-                w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, P, SHs)
-                tex_dma = pltpu.make_async_copy(
-                    slabs_hbm.at[tid, pl.ds(w0, P), :],
-                    rows.at[:, :SWs],
-                    sems.at[1],
-                )
-                tex_dma.start()
+        def coverage_into(k, frame, oy, ox, aa_ref, in_ref, area_ref, gh, gw):
+            """Composite coverage over a (gh, gw) grid with frame-coord
+            origin (oy, ox): exact-area polygons / analytic ellipses +
+            ordered screen algebra (cpp:591-646). Binary carried as f32."""
+            cxg = (
+                lax.broadcasted_iota(jnp.int32, (gh, gw), 1) + ox
+            ).astype(jnp.float32) + 0.5
+            cyg = (
+                lax.broadcasted_iota(jnp.int32, (gh, gw), 0) + oy
+            ).astype(jnp.float32) + 0.5
 
-            # --- coverage while the texture DMA is in flight ---
-            px = (
-                lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + x0
-            ).astype(jnp.float32)
-            py = (
-                lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + y0
-            ).astype(jnp.float32)
-            cx = px + 0.5
-            cy = py + 0.5
-
-            cov_aa[:] = jnp.zeros_like(cov_aa)
-            cov_in[:] = jnp.zeros_like(cov_in)
-            n_prims = OMI(k, frame, OMI_NPRIMS)
+            aa_ref[:] = jnp.zeros_like(aa_ref)
+            in_ref[:] = jnp.zeros_like(in_ref)
             add_bits = OMI(k, frame, OMI_ADD_BITS)
             poly_bits = OMI(k, frame, OMI_POLY_BITS)
 
             def comp(c, _):
                 is_poly = ((poly_bits >> c) & 1) != 0
-                cov_area[:] = jnp.zeros_like(cov_area)
+                area_ref[:] = jnp.zeros_like(area_ref)
 
                 @pl.when(is_poly)
                 def _():
                     _area_accumulate(
                         edges_smem, c * E, OMI(k, frame, OMI_NEDGES + c),
-                        cx, cy, cov_area,
+                        cxg, cyg, area_ref,
                     )
-                    area = jnp.abs(cov_area[:])
-                    cov_area[:] = jnp.minimum(area, 1.0) + jnp.where(
+                    area = jnp.abs(area_ref[:])
+                    area_ref[:] = jnp.minimum(area, 1.0) + jnp.where(
                         area >= 0.5, 2.0, 0.0
                     )
 
@@ -391,8 +383,8 @@ def _make_scene_kernel(
                     i12 = OMF(k, frame, base + 5)
                     rx_e = OMF(k, frame, base + 6)
                     ry_e = OMF(k, frame, base + 7)
-                    ux = (i00 * cx + i01 * cy + i02) / rx_e
-                    uy = (i10 * cx + i11 * cy + i12) / ry_e
+                    ux = (i00 * cxg + i01 * cyg + i02) / rx_e
+                    uy = (i10 * cxg + i11 * cyg + i12) / ry_e
                     r = jnp.sqrt(ux * ux + uy * uy)
                     safe_r = jnp.maximum(r, 1e-6)
                     gx = (i00 / rx_e) * (ux / safe_r) + (i10 / ry_e) * (
@@ -403,53 +395,36 @@ def _make_scene_kernel(
                     )
                     gnorm = jnp.sqrt(gx * gx + gy * gy)
                     sdf = (r - 1.0) / jnp.maximum(gnorm, 1e-9)
-                    cov_area[:] = jnp.clip(0.5 - sdf, 0.0, 1.0) + jnp.where(
+                    area_ref[:] = jnp.clip(0.5 - sdf, 0.0, 1.0) + jnp.where(
                         r <= 1.0, 2.0, 0.0
                     )
 
-                # cov_area carries aa in the fractional part and the binary
+                # area_ref carries aa in the fractional part and the binary
                 # bit at +2 (one scratch, one pl.when pair).
                 additive = ((add_bits >> c) & 1) != 0
-                aa = cov_area[:] - jnp.where(cov_area[:] >= 2.0, 2.0, 0.0)
-                ins = (cov_area[:] >= 2.0).astype(jnp.int32)
-                a_aa = 1.0 - (1.0 - cov_aa[:]) * (1.0 - aa)
-                a_in = jnp.maximum(cov_in[:], ins)
-                s_aa = cov_aa[:] * (1.0 - aa)
-                s_in = cov_in[:] * (1 - ins)
-                cov_aa[:] = jnp.where(additive, a_aa, s_aa)
-                cov_in[:] = jnp.where(additive, a_in, s_in)
+                aa = area_ref[:] - jnp.where(area_ref[:] >= 2.0, 2.0, 0.0)
+                ins = (area_ref[:] >= 2.0).astype(jnp.float32)
+                a_aa = 1.0 - (1.0 - aa_ref[:]) * (1.0 - aa)
+                a_in = jnp.maximum(in_ref[:], ins)
+                s_aa = aa_ref[:] * (1.0 - aa)
+                s_in = in_ref[:] * (1.0 - ins)
+                aa_ref[:] = jnp.where(additive, a_aa, s_aa)
+                in_ref[:] = jnp.where(additive, a_in, s_in)
                 return 0
 
-            lax.fori_loop(0, n_prims, comp, 0)
-            if debug_level < 3:
-                tex_dma.wait()
-                return
+            lax.fori_loop(0, OMI(k, frame, OMI_NPRIMS), comp, 0)
 
-            # --- ownership mask (tile grid partitions the cover rect) ---
+        def own_mask(k, frame, t, y0, x0):
             pxi = lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + x0
             pyi = lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + y0
-            own = (
+            return (
                 (pyi >= TMI(k, frame, t, TMI_OY0))
                 & (pyi < TMI(k, frame, t, TMI_OY1))
                 & (pxi >= TMI(k, frame, t, TMI_OX0))
                 & (pxi < TMI(k, frame, t, TMI_OX1))
             ).astype(jnp.float32)
 
-            m = (
-                cov_aa[:] if use_aa else cov_in[:].astype(jnp.float32)
-            ) * own
-
-            # --- texture planes ---
-            tex_dma.wait()
-            if frame == 0:
-                tr, tg, tb = _unpack3f(rows[:wh, :ww])
-            else:
-                tr, tg, tb = resamp.resample_rows_in_kernel(
-                    rows, w0, coeffs, x0, y0, wh, ww, P,
-                    t1, t1t, outt, xscan, yscan, sw=SWs,
-                )
-
-            # --- blend (blitObject alpha composite, cpp:777-796) ---
+        def blend_window(acc_frame, y0, x0, m, tr, tg, tb):
             win = acc_frame[pl.ds(y0, wh), pl.ds(x0, ww)]
             fr, fg, fb = _unpack3f(win)
             fr = jnp.round(fr * (1.0 - m) + tr * m)
@@ -457,27 +432,241 @@ def _make_scene_kernel(
             fb = jnp.round(fb * (1.0 - m) + tb * m)
             acc_frame[pl.ds(y0, wh), pl.ds(x0, ww)] = _pack3f(fr, fg, fb)
 
-            # --- flow overwrite where the binary mask covers ---
-            emit = (frame == 0) or inverse_flow
-            if emit:
-                mi = cov_in[:].astype(jnp.float32) * own
-                m00 = OMF(k, frame, OMF_MOTION + 0)
-                m01 = OMF(k, frame, OMF_MOTION + 1)
-                m02 = OMF(k, frame, OMF_MOTION + 2)
-                m10 = OMF(k, frame, OMF_MOTION + 3)
-                m11 = OMF(k, frame, OMF_MOTION + 4)
-                m12 = OMF(k, frame, OMF_MOTION + 5)
-                ofx = m00 * px + m01 * py + m02 - px
-                ofy = m10 * px + m11 * py + m12 - py
-                fi = 0 if frame == 0 else 2
-                wx = accf[fi, pl.ds(y0, wh), pl.ds(x0, ww)]
-                wy = accf[fi + 1, pl.ds(y0, wh), pl.ds(x0, ww)]
-                accf[fi, pl.ds(y0, wh), pl.ds(x0, ww)] = (
-                    ofx * mi + wx * (1.0 - mi)
+        def motion_scalars(k, frame):
+            return tuple(OMF(k, frame, OMF_MOTION + j) for j in range(6))
+
+        def scalar_fold_coeffs(mm, cx_c, cy_c):
+            """In-kernel reflect fold + two-pass split of a raw crop-space
+            affine at footprint center (cx_c, cy_c) — the scalar twin of
+            compose/fused._fold_coeffs, used where the fold must be chosen
+            per sub-tile (warp-object expanded textures)."""
+            m00, m01, m02, m10, m11, m12 = mm
+            margin = float(SLAB_MARGIN)
+
+            def fold(s_c, n):
+                r = s_c - (2.0 * n) * jnp.floor(s_c / (2.0 * n))
+                mirror = r >= n
+                off = s_c - r
+                sig = jnp.where(mirror, -1.0, 1.0)
+                beta = jnp.where(mirror, 2.0 * n - 1.0 + off, -off) + margin
+                return sig, beta
+
+            sx_c = m00 * cx_c + m01 * cy_c + m02
+            sy_c = m10 * cx_c + m11 * cy_c + m12
+            sigx, betax = fold(sx_c, float(W))
+            sigy, betay = fold(sy_c, float(H))
+            a = m00 * sigx
+            bb = m01 * sigx
+            e = m02 * sigx + betax
+            c = m10 * sigy
+            d = m11 * sigy
+            f = m12 * sigy + betay
+            B_ = bb / d
+            return (a - B_ * c, B_, e - B_ * f, c, d, f)
+
+        def sample_wf_at_moved(k, frame, slot, ch, y0, x0):
+            """Forward warp field channel sampled at the motion-moved window
+            positions (getPointFlow cpp:398-406) via a two-pass f32 resample
+            of the aux plane."""
+            mm = motion_scalars(k, frame)
+            m00, m01, m02, m10, m11, m12 = mm
+            B_ = m01 / m11
+            coeffs = (
+                m00 - B_ * m10, B_, m02 - B_ * m12, m10, m11, m12
+            )
+            # The field planes are only H rows tall; stage min(P, H) rows
+            # (for production frames that is the whole plane).
+            PF = min(P, H)
+            w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, PF, H)
+            fdma = pltpu.make_async_copy(
+                aux_hbm.at[slot, ch, pl.ds(w0, PF), :],
+                frows.at[:PF, :W],
+                sems.at[1],
+            )
+            fdma.start()
+            fdma.wait()
+            return resamp.resample_rows_f32(
+                frows.at[:PF], w0, coeffs, x0, y0, wh, ww, PF,
+                ft1.at[:PF], t1t, outt, xscan, yscan, sw=W,
+            )
+
+        def do_tile(k, frame, t, acc_frame):
+            if debug_level < 2:
+                return
+            y0 = pl.multiple_of(TMI(k, frame, t, TMI_Y0) & ~7, 8)
+            x0 = pl.multiple_of(TMI(k, frame, t, TMI_X0) & ~127, 128)
+            tid = OMI(k, frame, OMI_TEX)
+            warping = (
+                (OMI(k, frame, OMI_WARP) != 0) if has_warp else None
+            )
+
+            def standard():
+                # --- texture DMA first (overlaps the coverage compute) ---
+                if frame == 0:
+                    sy = pl.multiple_of((SLAB_MARGIN + y0) & ~7, 8)
+                    sx = pl.multiple_of((SLAB_MARGIN + x0) & ~127, 128)
+                    tex_dma = pltpu.make_async_copy(
+                        slabs_hbm.at[tid, pl.ds(sy, wh), pl.ds(sx, ww)],
+                        rows.at[:wh, :ww],
+                        sems.at[1],
+                    )
+                    tex_dma.start()
+                else:
+                    coeffs = tuple(TMF(k, frame, t, j) for j in range(6))
+                    w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, P, SHs)
+                    tex_dma = pltpu.make_async_copy(
+                        slabs_hbm.at[tid, pl.ds(w0, P), :],
+                        rows.at[:, :SWs],
+                        sems.at[1],
+                    )
+                    tex_dma.start()
+
+                coverage_into(k, frame, y0, x0, cov_aa, cov_in, cov_area,
+                              wh, ww)
+                if debug_level < 3:
+                    tex_dma.wait()
+                    return
+                own = own_mask(k, frame, t, y0, x0)
+                m = (cov_aa[:] if use_aa else cov_in[:]) * own
+
+                tex_dma.wait()
+                if frame == 0:
+                    tr, tg, tb = _unpack3f(rows[:wh, :ww])
+                else:
+                    tr, tg, tb = resamp.resample_rows_in_kernel(
+                        rows, w0, coeffs, x0, y0, wh, ww, P,
+                        t1, t1t, outt, xscan, yscan, sw=SWs,
+                    )
+                blend_window(acc_frame, y0, x0, m, tr, tg, tb)
+
+                emit = (frame == 0) or inverse_flow
+                if emit:
+                    px = (
+                        lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + x0
+                    ).astype(jnp.float32)
+                    py = (
+                        lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + y0
+                    ).astype(jnp.float32)
+                    mi = cov_in[:] * own
+                    m00, m01, m02, m10, m11, m12 = motion_scalars(k, frame)
+                    mvx = m00 * px + m01 * py + m02
+                    mvy = m10 * px + m11 * py + m12
+                    ofx = mvx - px
+                    ofy = mvy - py
+                    fi = 0 if frame == 0 else 2
+                    wx = accf[fi, pl.ds(y0, wh), pl.ds(x0, ww)]
+                    wy = accf[fi + 1, pl.ds(y0, wh), pl.ds(x0, ww)]
+                    accf[fi, pl.ds(y0, wh), pl.ds(x0, ww)] = (
+                        ofx * mi + wx * (1.0 - mi)
+                    )
+                    accf[fi + 1, pl.ds(y0, wh), pl.ds(x0, ww)] = (
+                        ofy * mi + wy * (1.0 - mi)
+                    )
+                    if has_warp and frame == 0:
+                        # Nonrigid flow: + forward field at the moved
+                        # position, inside the frame (cpp:398-406). Additive
+                        # after the overwrite, gated by the same mask.
+                        @pl.when(warping)
+                        def _():
+                            slot = OMI(k, frame, OMI_SLOT)
+                            inb = (
+                                (mvx >= 0) & (mvx < W)
+                                & (mvy >= 0) & (mvy < H)
+                            ).astype(jnp.float32) * mi
+                            wfx = sample_wf_at_moved(k, frame, slot, 2, y0, x0)
+                            accf[0, pl.ds(y0, wh), pl.ds(x0, ww)] = (
+                                accf[0, pl.ds(y0, wh), pl.ds(x0, ww)]
+                                + wfx * inb
+                            )
+                            wfy = sample_wf_at_moved(k, frame, slot, 3, y0, x0)
+                            accf[1, pl.ds(y0, wh), pl.ds(x0, ww)] = (
+                                accf[1, pl.ds(y0, wh), pl.ds(x0, ww)]
+                                + wfy * inb
+                            )
+
+            if not has_warp:
+                standard()
+                return
+            if frame == 0:
+                standard()
+                return
+
+            @pl.when(jnp.logical_not(warping))
+            def _():
+                standard()
+
+            @pl.when(warping)
+            def _():
+                # ---- deforming object, frame 1 (renderMasks cpp:370-386 +
+                # renderTransformedTexture cpp:341-346): evaluate coverage
+                # and the affine-warped texture on an EXPANDED grid, then
+                # displace both through the inverse field via the separable
+                # two-pass (aux fields precomputed per bank epoch). ----
+                slot = OMI(k, frame, OMI_SLOT)
+                ey0 = pl.multiple_of(
+                    jnp.clip(y0 - WARP_EY, 0, H - whE) & ~7, 8
                 )
-                accf[fi + 1, pl.ds(y0, wh), pl.ds(x0, ww)] = (
-                    ofy * mi + wy * (1.0 - mi)
+                ex0 = jnp.clip(x0 - WARP_EX, 0, W - wwE)
+                ig_dma = pltpu.make_async_copy(
+                    aux_hbm.at[slot, 0, pl.ds(ey0, whE), pl.ds(x0, ww)],
+                    igbuf, sems.at[3],
                 )
+                ig_dma.start()
+                iv_dma = pltpu.make_async_copy(
+                    aux_hbm.at[slot, 1, pl.ds(y0, wh), pl.ds(x0, ww)],
+                    ivbuf, sems.at[4],
+                )
+                iv_dma.start()
+
+                coverage_into(k, frame, ey0, ex0, covE_aa, covE_in,
+                              covE_area, whE, wwE)
+
+                mm = motion_scalars(k, frame)  # motion_inv (flow slot, f1)
+                for ly in LYS:
+                    for lx in LXS:
+                        oy = ey0 + ly
+                        ox = ex0 + lx
+                        coeffs = scalar_fold_coeffs(
+                            mm, ox.astype(jnp.float32) + ww / 2.0,
+                            oy.astype(jnp.float32) + wh / 2.0,
+                        )
+                        w0 = resamp.pass1_row_start(
+                            coeffs, ox, oy, wh, ww, P, SHs
+                        )
+                        tdma = pltpu.make_async_copy(
+                            slabs_hbm.at[tid, pl.ds(w0, P), :],
+                            rows.at[:, :SWs],
+                            sems.at[1],
+                        )
+                        tdma.start()
+                        tdma.wait()
+                        tr, tg, tb = resamp.resample_rows_in_kernel(
+                            rows, w0, coeffs, ox, oy, wh, ww, P,
+                            t1, t1t, outt, xscan, yscan, sw=SWs,
+                        )
+                        texE[0, ly : ly + wh, lx : lx + ww] = tr
+                        texE[1, ly : ly + wh, lx : lx + ww] = tg
+                        texE[2, ly : ly + wh, lx : lx + ww] = tb
+
+                ig_dma.wait()
+                iv_dma.wait()
+                gd = igbuf[:]
+                vd = ivbuf[:]
+
+                def disp(src_ref):
+                    return resamp.displace_warp_in_kernel(
+                        src_ref, gd, vd, x0, y0, ex0, ey0,
+                        wh, ww, whE, wwE, dtmp, dtmpT, outt,
+                    )
+
+                own = own_mask(k, frame, t, y0, x0)
+                aaW = disp(covE_aa)
+                inW = (disp(covE_in) >= IN_THR).astype(jnp.float32)
+                m = (aaW if use_aa else inW) * own
+                trW = disp(texE.at[0])
+                tgW = disp(texE.at[1])
+                tbW = disp(texE.at[2])
+                blend_window(acc_frame, y0, x0, m, trW, tgW, tbW)
 
         def obj(i, _):
             k = smeta[0, 1 + i]
@@ -529,7 +718,7 @@ def _pad128(n: int) -> int:
 )
 def scene_render_pallas(
     count, order, bg_tex, omi, omf, tmi, tmf, bgc, edges, slabs, bgslabs,
-    flow_init,
+    flow_init, warp_aux=None, bgf=None,
     *, spec_key, use_aa=True, inverse_flow=False, interpret=False,
     debug_level=3,
 ):
@@ -567,10 +756,15 @@ def scene_render_pallas(
     Pp = _round_up(P, 128)
     nflow = flow_init.shape[1]
     NBT = (-(-H // wh)) * (-(-W // ww))
+    has_warp = warp_aux is not None
+    whE = min(wh + 2 * WARP_EY, H)
+    wwE = min(ww + 2 * WARP_EX, W)
+    whEp = _round_up(whE, 128)
+    Wp = _round_up(W, 128)
 
     kernel = _make_scene_kernel(
         H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
-        inverse_flow, debug_level,
+        inverse_flow, has_warp, debug_level,
     )
 
     # Flatten + pad the metadata to (B, mult-of-128) HBM rows.
@@ -607,32 +801,55 @@ def scene_render_pallas(
     )
 
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    # The standard rows buffer doubles as the bg-slab stage in rigid kernels;
+    # warp kernels stage only object slabs there (bg arrives via bgf).
+    rows_w = max(SWs, SWb) if not has_warp else SWs
+    scratch = [
+        pltpu.VMEM((H, W), jnp.int32),
+        pltpu.VMEM((H, W), jnp.int32),
+        pltpu.VMEM((nflow, H, W), jnp.float32),
+        pltpu.SMEM((1, SM_LEN), jnp.int32),
+        pltpu.SMEM((1, omi_w), jnp.int32),
+        pltpu.SMEM((1, omf_w), jnp.float32),
+        pltpu.SMEM((1, tm_w), jnp.int32),
+        pltpu.SMEM((1, tm_w), jnp.float32),
+        pltpu.SMEM((1, bg_w), jnp.float32),
+        pltpu.SMEM((4, EP), jnp.float32),
+        pltpu.VMEM((P, rows_w), jnp.int32),
+        pltpu.VMEM((3, P, ww), jnp.float32),
+        pltpu.VMEM((ww, Pp), jnp.float32),
+        pltpu.VMEM((ww, _round_up(wh, 128)), jnp.float32),
+        pltpu.VMEM((wh, ww), jnp.float32),
+        pltpu.VMEM((wh, ww), jnp.float32),
+        pltpu.VMEM((wh, ww), jnp.float32),
+    ]
+    if has_warp:
+        scratch += [
+            pltpu.VMEM((whE, wwE), jnp.float32),     # covE_aa
+            pltpu.VMEM((whE, wwE), jnp.float32),     # covE_in
+            pltpu.VMEM((whE, wwE), jnp.float32),     # covE_area
+            pltpu.VMEM((3, whE, wwE), jnp.float32),  # texE
+            pltpu.VMEM((whE, ww), jnp.float32),      # igbuf
+            pltpu.VMEM((wh, ww), jnp.float32),       # ivbuf
+            pltpu.VMEM((whE, ww), jnp.float32),      # dtmp
+            pltpu.VMEM((ww, whEp), jnp.float32),     # dtmpT
+            pltpu.VMEM((P, Wp), jnp.float32),        # frows
+            pltpu.VMEM((P, ww), jnp.float32),        # ft1
+        ]
+    scratch.append(pltpu.SemaphoreType.DMA((8,)))
+
+    n_in = 10 + (2 if has_warp else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
-        in_specs=[any_spec] * 10,
+        in_specs=[any_spec] * n_in,
         out_specs=(any_spec, any_spec),
-        scratch_shapes=[
-            pltpu.VMEM((H, W), jnp.int32),
-            pltpu.VMEM((H, W), jnp.int32),
-            pltpu.VMEM((nflow, H, W), jnp.float32),
-            pltpu.SMEM((1, SM_LEN), jnp.int32),
-            pltpu.SMEM((1, omi_w), jnp.int32),
-            pltpu.SMEM((1, omf_w), jnp.float32),
-            pltpu.SMEM((1, tm_w), jnp.int32),
-            pltpu.SMEM((1, tm_w), jnp.float32),
-            pltpu.SMEM((1, bg_w), jnp.float32),
-            pltpu.SMEM((4, EP), jnp.float32),
-            pltpu.VMEM((P, max(SWs, SWb)), jnp.int32),
-            pltpu.VMEM((3, P, ww), jnp.float32),
-            pltpu.VMEM((ww, Pp), jnp.float32),
-            pltpu.VMEM((ww, _round_up(wh, 128)), jnp.float32),
-            pltpu.VMEM((wh, ww), jnp.float32),
-            pltpu.VMEM((wh, ww), jnp.int32),
-            pltpu.VMEM((wh, ww), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
+        scratch_shapes=scratch,
     )
+    inputs = [smeta, omi_f, omf_f, tmi_f, tmf_f, bgc_f, edges, slabs,
+              bgslabs, flow_init]
+    if has_warp:
+        inputs += [warp_aux, bgf]
     frames, flow = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -644,6 +861,5 @@ def scene_render_pallas(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(smeta, omi_f, omf_f, tmi_f, tmf_f, bgc_f, edges, slabs, bgslabs,
-      flow_init)
+    )(*inputs)
     return frames, flow

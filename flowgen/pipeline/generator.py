@@ -63,12 +63,14 @@ def use_fused_path(cfg: DataGenConfig) -> bool:
     return (
         cfg.windowed
         and _pallas_enabled(cfg)
-        and fused_eligible(cfg.mode_spec, cfg.height, cfg.width)
+        and fused_eligible(
+            cfg.mode_spec, cfg.height, cfg.width, cfg.compute_inverse_flow
+        )
     )
 
 
 def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
-                   warp_bank=None, slabs=None):
+                   warp_bank=None, slabs=None, warp_aux=None):
     """One batch: samples ``cfg.batch_size`` scenes at global indices
     ``base_index .. base_index+B-1`` (default ``step*B``) and renders them.
     Pure; jit with cfg static. In mode 9 a precomputed ``warp_bank`` can be
@@ -109,8 +111,12 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
                 prepare_bg_slabs(atlas[..., :3]),
             )
         slabs = jax.lax.optimization_barrier(slabs)
+        if warp_bank is not None and warp_aux is None:
+            # Derived inline (hot-path callers cache it per bank epoch).
+            warp_aux = warpgen.make_warp_aux(warp_bank)
         rendered = render_batch_fused(
-            scenes, slabs[0], slabs[1], (atlas.shape[1], atlas.shape[2]), cfg
+            scenes, slabs[0], slabs[1], (atlas.shape[1], atlas.shape[2]), cfg,
+            quad_atlas=atlas, warp_bank=warp_bank, warp_aux=warp_aux,
         )
     else:
         rendered = render_batch(scenes, atlas, cfg, warp_bank)
@@ -196,14 +202,20 @@ def make_generate_fn(cfg: DataGenConfig, mesh=None):
         )
 
     bank_fn = jax.jit(functools.partial(warpgen.make_warp_bank, cfg=cfg))
+    aux_fn = jax.jit(warpgen.make_warp_aux)
+    fused = use_fused_path(cfg)
     cache = {}
 
     def fn(root, step, atlas):
         epoch = int(step) // max(cfg.warp_bank_reuse_steps, 1)
         if cache.get("epoch") != epoch:
             cache["bank"] = bank_fn(root, jnp.int32(step))
+            cache["aux"] = aux_fn(cache["bank"]) if fused else None
             cache["epoch"] = epoch
-        return gen(root, jnp.int32(step), packed(atlas), warp_bank=cache["bank"])
+        return gen(
+            root, jnp.int32(step), packed(atlas), warp_bank=cache["bank"],
+            slabs=slab_of(packed(atlas)), warp_aux=cache["aux"],
+        )
 
     return fn
 

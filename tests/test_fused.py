@@ -94,12 +94,53 @@ def test_fused_inverse_flow():
     assert df.max() < 1e-3
 
 
+def test_fused_mode9_matches_windowed():
+    """Nonrigid scenes: object deformation in-kernel (separable displacement
+    warp over epoch-precomputed aux fields), background via the XLA warp
+    path. Frame 0 is bit-exact (shared background, rigid frame-0 masks);
+    flow matches except sub-percent warped-mask boundary flips; frame 1
+    absorbs the one-stage-vs-two-stage texture warp difference (the fused
+    two-stage form is the reference's literal order, cpp:341-346, and
+    measures CLOSER to the oracle than the windowed path)."""
+    from flowgen.warpfields import generator as warpgen
+
+    cfg = flowgen.DataGenConfig(
+        mode=9, batch_size=2, width=W, height=H, use_pallas="never"
+    )
+    atlas = jnp.asarray(
+        flowgen.procedural_atlas(3, height=H, width=W), jnp.float32
+    )
+    quad = jax.jit(prepare_atlas)(atlas)
+    slabs = prepare_slabs(quad[..., :3], H, W)
+    bgslabs = prepare_bg_slabs(quad[..., :3])
+    bank = warpgen.make_warp_bank(root_key(0), jnp.int32(0), cfg)
+    aux = warpgen.make_warp_aux(bank)
+    scenes = sample_scene_batch(
+        root_key(11), jnp.arange(2), cfg, n_warp_slots=warpgen.bank_size(cfg)
+    )
+    assert np.asarray(scenes.objects.warp & scenes.objects.valid).sum() >= 2
+
+    ref = render_batch(scenes, quad, cfg, bank)
+    out = render_batch_fused(
+        scenes, slabs, bgslabs, (atlas.shape[1], atlas.shape[2]), cfg,
+        interpret=True, quad_atlas=quad, warp_bank=bank, warp_aux=aux,
+    )
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    df = np.abs(np.asarray(out[2]) - np.asarray(ref[2])).max(-1)
+    assert np.median(df) < 1e-3
+    assert (df > 0.1).mean() < 0.005
+    d1 = np.abs(np.asarray(out[1]) - np.asarray(ref[1]))
+    assert np.median(d1) <= 2.0
+    assert (d1.mean(-1) < 8).mean() > 0.8
+
+
 def test_eligibility_gates():
     spec7 = flowgen.DataGenConfig(mode=7).mode_spec
     spec9 = flowgen.DataGenConfig(mode=9).mode_spec
     spec13 = flowgen.DataGenConfig(mode=13).mode_spec
     assert fused_eligible(spec7, 384, 512)
-    assert not fused_eligible(spec9, 384, 512)   # nonrigid warps
+    assert fused_eligible(spec9, 384, 512)       # nonrigid: in-kernel warps
+    assert not fused_eligible(spec9, 384, 512, inverse_flow=True)
     assert not fused_eligible(spec13, 384, 512)  # rotations beyond 45 deg
     assert not fused_eligible(spec7, 384, 500)   # lane-unaligned width
 
@@ -111,6 +152,9 @@ def test_generate_batch_dispatch():
     assert not use_fused_path(flowgen.DataGenConfig(mode=7))  # cpu backend
     cfg = flowgen.DataGenConfig(mode=7, use_pallas="always")
     assert use_fused_path(cfg)
+    assert use_fused_path(flowgen.DataGenConfig(mode=9, use_pallas="always"))
     assert not use_fused_path(
-        flowgen.DataGenConfig(mode=9, use_pallas="always")
+        flowgen.DataGenConfig(
+            mode=9, use_pallas="always", compute_inverse_flow=True
+        )
     )
