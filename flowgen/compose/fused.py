@@ -100,8 +100,8 @@ def _fold_coeffs(t, cx, cy, nx, ny, margin):
         beta = jnp.where(mirror, 2.0 * n - 1.0 + off, -off) + margin
         return sigma, beta
 
-    sx, bx = fold(scx, float(nx))
-    sy, by = fold(scy, float(ny))
+    sx, bx = fold(scx, jnp.asarray(nx, jnp.float32))
+    sy, by = fold(scy, jnp.asarray(ny, jnp.float32))
     a = m[..., 0, 0] * sx
     bb = m[..., 0, 1] * sx
     e = m[..., 0, 2] * sx + bx
@@ -221,18 +221,21 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
     return count, order, omi, omf, tmi, tmf.astype(jnp.float32), edges
 
 
-def _bg_tile_coeffs(scene: Scene, cfg: DataGenConfig, src_h: int, src_w: int):
+def _bg_tile_coeffs(scene: Scene, cfg: DataGenConfig, src_h, src_w):
     """Background resample coefficients per frame per static full-frame tile:
     frame 0 samples the (src_h, src_w) source through crop_t o T(+center),
     frame 1 through crop_t o bg_big_inv o T(+center) (the affines of
     render.background_pass), with the reflect fold composed per tile.
+    ``src_h``/``src_w`` may be traced per-sample native dims (TextureDB
+    path) — the crop transform then includes the reference's small-source
+    resize-only fallback, and the reflect fold uses the native periods.
     Returns (2, NBT, 6)."""
     from ..ops import texture as tex_mod
 
     H, W = cfg.height, cfg.width
     wh, ww = min(ps.WIN_H, H), min(ps.WIN_W, W)
     bg = scene.background
-    crop_t = tex_mod.randomized_crop_transform(
+    crop_t = tex_mod.randomized_crop_transform_native(
         src_h, src_w, 2 * H, 2 * W,
         bg.tex_rot_deg, bg.tex_zoom, bg.tex_shift[0], bg.tex_shift[1],
     )
@@ -257,7 +260,8 @@ def _bg_tile_coeffs(scene: Scene, cfg: DataGenConfig, src_h: int, src_w: int):
 
 def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
                        cfg: DataGenConfig, interpret: bool = False,
-                       quad_atlas=None, warp_bank=None, warp_aux=None):
+                       quad_atlas=None, warp_bank=None, warp_aux=None,
+                       tex_sizes=None):
     """Fused render of a batch: frames entirely in the scene megakernel
     (background + objects), flow init in XLA. ``src_hw``: the texture
     sources' (height, width) — the bg slabs' unpadded dims. For nonrigid
@@ -290,10 +294,16 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
     count, order, omi, omf, tmi, tmf, edges = jax.vmap(
         lambda s: prepare_scene_inputs(s, cfg, slabs.shape[0])
     )(scenes)
-    bgc = jax.vmap(
-        lambda s: _bg_tile_coeffs(s, cfg, src_hw[0], src_hw[1])
-    )(scenes)
     bg_tex = scenes.background.tex_id % bgslabs.shape[0]
+    if tex_sizes is not None:
+        sz = jnp.asarray(tex_sizes)[bg_tex]           # [B, 2] native (h, w)
+        bgc = jax.vmap(
+            lambda s, hw: _bg_tile_coeffs(s, cfg, hw[0], hw[1])
+        )(scenes, sz)
+    else:
+        bgc = jax.vmap(
+            lambda s: _bg_tile_coeffs(s, cfg, src_hw[0], src_hw[1])
+        )(scenes)
 
     P, xs, ys = ps.resample_params(spec, H, W)
     frames, flow = ps.scene_render_pallas(

@@ -283,6 +283,10 @@ class DataGenConfig:
     height: int = DEFAULT_HEIGHT
     use_antialiasing: bool = True         # proto field use_antialiasing (default true)
     texture_dbases: Tuple[str, ...] = ()  # list files of texture image paths
+    # Preserve heterogeneous source resolutions (reference crop geometry is
+    # per-source, Texture::getRandomizedCrop cpp:87-109). Fused path only;
+    # plain arrays / the windowed fallback keep the canonical 2Hx2W resize.
+    native_texture_fov: bool = True
     prefetch: int = 2                     # device-step pipelining depth
     seed: int = 0
     # Output compatibility switches (reference emits 0-255 BGR CHW float batches,

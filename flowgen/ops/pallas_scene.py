@@ -132,6 +132,48 @@ def prepare_slabs(atlas, height: int, width: int):
     return jax.vmap(slab)(crops)
 
 
+def prepare_obj_slabs(obj_tex):
+    """(T, H, W, 3) pre-materialized object textures (TextureDB.obj_tex, the
+    reference-exact getRandomizedCrop-with-defaults output per source) ->
+    packed reflect-padded slabs, same layout as :func:`prepare_slabs`."""
+    height, width = obj_tex.shape[1], obj_tex.shape[2]
+
+    def slab(img):
+        s = resamp.reflect_pad(
+            resamp.pack_rgb_i32(img), SLAB_MARGIN, SLAB_MARGIN
+        )
+        hs, ws = slab_shape(height, width)
+        return jnp.pad(
+            s, ((0, hs - s.shape[0]), (0, ws - s.shape[1])), mode="edge"
+        )
+
+    return jax.vmap(slab)(obj_tex)
+
+
+def prepare_bg_slabs_db(sources, sizes):
+    """(T, maxH, maxW, 3) zero-padded native sources + (T, 2) native dims ->
+    packed background slabs with PER-SOURCE reflect periods: slab[i, j] =
+    src[reflect(i - M, h_t), reflect(j - M, w_t)]. The full periodic-reflect
+    extension is materialized, so any in-slab position carries exact AGG
+    wrap_mode_reflect content for that source's native size."""
+    T, maxH, maxW = sources.shape[0], sources.shape[1], sources.shape[2]
+    SHb = _round_up(maxH + 2 * SLAB_MARGIN, 8)
+    SWb = _round_up(maxW + 2 * SLAB_MARGIN, 128)
+
+    def reflect(i, n):
+        r = jnp.remainder(i, 2 * n)
+        return jnp.where(r >= n, 2 * n - 1 - r, r)
+
+    def one(src, hw):
+        h, w = hw[0], hw[1]
+        yi = reflect(jnp.arange(SHb) - SLAB_MARGIN, h)
+        xi = reflect(jnp.arange(SWb) - SLAB_MARGIN, w)
+        packed = resamp.pack_rgb_i32(src)
+        return packed[yi][:, xi]
+
+    return jax.vmap(one)(jnp.asarray(sources), jnp.asarray(sizes))
+
+
 def prepare_bg_slabs(atlas):
     """(T, SH, SW, 3) texture atlas -> (T, SHb, SWb) int32 packed slabs of the
     FULL canonical sources with SLAB_MARGIN reflected texels per side. The

@@ -177,6 +177,39 @@ def randomized_crop_transform(src_h, src_w, out_h, out_w, angle_deg, zoom, shift
     return affine.chain(scale, crop_origin, rot, unshift)
 
 
+def randomized_crop_transform_native(
+    src_h, src_w, out_h, out_w, angle_deg, zoom, shift_x, shift_y
+):
+    """Per-source crop transform with the reference's small-source fallback
+    (Texture::getRandomizedCrop, cpp:96-108): sources at least as large as
+    the request use the shift->rotate->crop->resize chain; smaller sources
+    shift->rotate->resize the WHOLE image (zoom ignored). ``src_h``/``src_w``
+    may be traced per-sample values — everything is jnp math, so the two
+    chains select elementwise."""
+    crop_t = randomized_crop_transform(
+        src_h, src_w, out_h, out_w, angle_deg, zoom, shift_x, shift_y
+    )
+    zoom = jnp.asarray(zoom, jnp.float32)
+    sx = src_w / out_w
+    sy = src_h / out_h
+    z = jnp.zeros_like(zoom)
+    scale = jnp.stack(
+        [
+            jnp.stack([sx + z, z, z], -1),
+            jnp.stack([z, sy + z, z], -1),
+        ],
+        -2,
+    )
+    ang = angle_deg * (jnp.pi / 180.0)
+    rot = affine.conjugate_about(
+        affine.rotation(ang), src_w / 2.0, src_h / 2.0
+    )
+    unshift = affine.translation(-shift_x, -shift_y)
+    resize_t = affine.chain(scale, rot, unshift)
+    big_enough = (src_w >= out_w) & (src_h >= out_h)
+    return jnp.where(big_enough, crop_t, resize_t)
+
+
 def randomized_crop(src, out_h, out_w, angle_deg, zoom, shift_x, shift_y):
     """One-gather equivalent of Texture::getRandomizedCrop for sources at least
     as large as the output (the reference's resize-only fallback for smaller

@@ -35,6 +35,7 @@ from ..params.sampler import sample_scene_batch
 from ..random.streams import root_key
 from ..warpfields import generator as warpgen
 from .. import texture_io
+from ..texture_io import TextureDB
 
 
 def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig):
@@ -83,12 +84,16 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
     if base_index is None:
         base_index = step * b
     indices = base_index + jnp.arange(b)
-    # Accept either a raw (T, SH, SW, 3) atlas or one already quad-packed to
-    # (T, SH, SW, 12) by prepare_atlas. Callers on the hot path (Generator,
+    # Accept a raw (T, SH, SW, 3) atlas, one already quad-packed to
+    # (T, SH, SW, 12) by prepare_atlas, or a texture_io.TextureDB (native
+    # field-of-view path). Callers on the hot path (Generator,
     # make_generate_fn) pre-pack ONCE outside the step — packing is ~10 ms per
     # batch at 32 textures and the atlas never changes. The barrier pins the
     # packed atlas: without it XLA rematerializes it into each of its many
     # gather consumers, recomputing it per object (3x slowdown at 32 textures).
+    db = atlas if isinstance(atlas, TextureDB) else None
+    if db is not None:
+        atlas = jnp.asarray(db.canonical)
     if atlas.shape[-1] != 12:
         atlas = prepare_atlas(atlas)
     atlas = jax.lax.optimization_barrier(atlas)
@@ -104,12 +109,20 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
         from ..compose.fused import render_batch_fused
         from ..ops.pallas_scene import prepare_bg_slabs, prepare_slabs
 
+        from ..ops.pallas_scene import prepare_bg_slabs_db, prepare_obj_slabs
+
         if slabs is None:
-            # Quad channels 0:3 are the unshifted image (texture.make_quad).
-            slabs = (
-                prepare_slabs(atlas[..., :3], cfg.height, cfg.width),
-                prepare_bg_slabs(atlas[..., :3]),
-            )
+            if db is not None:
+                slabs = (
+                    prepare_obj_slabs(jnp.asarray(db.obj_tex)),
+                    prepare_bg_slabs_db(db.sources, db.sizes),
+                )
+            else:
+                # Quad channels 0:3 are the raw image (texture.make_quad).
+                slabs = (
+                    prepare_slabs(atlas[..., :3], cfg.height, cfg.width),
+                    prepare_bg_slabs(atlas[..., :3]),
+                )
         slabs = jax.lax.optimization_barrier(slabs)
         if warp_bank is not None and warp_aux is None:
             # Derived inline (hot-path callers cache it per bank epoch).
@@ -117,6 +130,7 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
         rendered = render_batch_fused(
             scenes, slabs[0], slabs[1], (atlas.shape[1], atlas.shape[2]), cfg,
             quad_atlas=atlas, warp_bank=warp_bank, warp_aux=warp_aux,
+            tex_sizes=None if db is None else jnp.asarray(db.sizes),
         )
     else:
         rendered = render_batch(scenes, atlas, cfg, warp_bank)
@@ -139,6 +153,17 @@ def make_atlas_packer():
     cache = {}
 
     def packed(atlas):
+        if isinstance(atlas, TextureDB):
+            # Quad-pack the canonical array in place; the other DB fields
+            # pass through for the fused path's slabs/sizes.
+            if atlas.canonical.shape[-1] == 12:
+                return atlas
+            if cache.get("id") != id(atlas.canonical):
+                cache["id"] = id(atlas.canonical)
+                cache["val"] = atlas._replace(
+                    canonical=pack(jnp.asarray(atlas.canonical))
+                )
+            return cache["val"]
         if atlas.shape[-1] == 12 or isinstance(atlas, jax.core.Tracer):
             return atlas
         if cache.get("id") != id(atlas):
@@ -166,9 +191,24 @@ def make_slab_packer(cfg: DataGenConfig):
             prepare_bg_slabs(a),
         )
     )
+    from ..ops.pallas_scene import prepare_bg_slabs_db, prepare_obj_slabs
+
+    pack_db = jax.jit(
+        lambda obj, src, sizes: (
+            prepare_obj_slabs(obj), prepare_bg_slabs_db(src, sizes)
+        )
+    )
     cache = {}
 
     def slabs(atlas):
+        if isinstance(atlas, TextureDB):
+            if cache.get("id") != id(atlas.sources):
+                cache["id"] = id(atlas.sources)
+                cache["val"] = pack_db(
+                    jnp.asarray(atlas.obj_tex), jnp.asarray(atlas.sources),
+                    jnp.asarray(atlas.sizes),
+                )
+            return cache["val"]
         if isinstance(atlas, jax.core.Tracer):
             return None  # composed under jit: generate_batch derives inline
         if cache.get("id") != id(atlas):
@@ -243,8 +283,13 @@ class Generator:
         from ..compose.render import prepare_atlas
 
         # Quad-pack once at construction; the step then skips the ~10 ms/batch
-        # repack (generate_batch accepts both packed and raw atlases).
-        self._atlas = jax.jit(prepare_atlas)(jnp.asarray(atlas))
+        # repack (generate_batch accepts packed/raw atlases and TextureDBs).
+        if isinstance(atlas, TextureDB):
+            self._atlas = atlas._replace(
+                canonical=jax.jit(prepare_atlas)(jnp.asarray(atlas.canonical))
+            )
+        else:
+            self._atlas = jax.jit(prepare_atlas)(jnp.asarray(atlas))
         self._root = root_key(cfg.seed)
         self._fn = make_generate_fn(cfg, mesh)
         self._step = start_step

@@ -137,7 +137,8 @@ def ellipse_polygon(rx, ry, steps=100):
 
 def randomized_crop(src, out_h, out_w, angle_deg, zoom, sx, sy):
     """Literal shift -> rotate -> crop -> resize chain of
-    Texture::getRandomizedCrop (cpp:87-109), each stage materialized."""
+    Texture::getRandomizedCrop (cpp:87-109), each stage materialized,
+    including the small-source whole-image-resize fallback (cpp:104-108)."""
     h, w = src.shape[:2]
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     # shift by (sx, sy) (content moves +s => source coord -s), mirror boundary
@@ -148,12 +149,17 @@ def randomized_crop(src, out_h, out_w, angle_deg, zoom, sx, sy):
     rx = np.cos(a) * (xx - cx) - np.sin(a) * (yy - cy) + cx
     ry = np.sin(a) * (xx - cx) + np.cos(a) * (yy - cy) + cy
     rotated = bilinear(shifted, rx, ry, wrap="reflect")
+    oy, ox = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
+    if not (w >= out_w and h >= out_h):
+        # Fallback: resize the whole rotated image to (out_w, out_h).
+        u = (ox + 0.5) * w / out_w - 0.5
+        v = (oy + 0.5) * h / out_h - 0.5
+        return bilinear(rotated, u, v, wrap="reflect")
     # crop box anchored at centered start, size out/zoom (cpp:99-102)
     bx0 = w / 2.0 - out_w / 2.0
     by0 = h / 2.0 - out_h / 2.0
     bw = out_w / zoom
     bh = out_h / zoom
-    oy, ox = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
     u = bx0 + (ox + 0.5) * bw / out_w - 0.5
     v = by0 + (oy + 0.5) * bh / out_h - 0.5
     return bilinear(rotated, u, v, wrap="reflect")
@@ -185,7 +191,7 @@ def _upscale2_field(field, out_h, out_w):
 
 
 def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
-                        warp_bank=None):
+                        warp_bank=None, obj_tex_np=None):
     """Render one scene (numpy-converted Scene pytree, no batch dim) the
     reference way. Returns (image0, image1, flow0) float arrays.
 
@@ -195,13 +201,18 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
     inverse field per COMPONENT (renderMasks cpp:370-386, applied before the
     composite algebra), and flow adds the forward field sampled at the moved
     position (getPointFlow cpp:388-407).
+
+    ``atlas_np`` may be a LIST of native-resolution images (heterogeneous
+    shapes — the crop chain then exercises per-source geometry including the
+    small-source fallback); ``obj_tex_np`` optionally supplies materialized
+    object textures (TextureDB.obj_tex) instead of the canonical center crop.
     """
     W, H = width, height
     bg = scene_np["background"]
     objs = scene_np["objects"]
     prims = scene_np["prims"]
-    T = atlas_np.shape[0]
-    atlas_np = atlas_np.astype(np.float64)
+    T = len(atlas_np)
+    atlas_np = [np.asarray(a).astype(np.float64) for a in atlas_np]
     bg_warp = warp_bank is not None and bool(bg["warp"])
 
     # --- Background object (MovingObjectBackground, cpp:654-718) ---
@@ -256,7 +267,11 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
             slot = int(objs["warp_slot"][k])
             wf = np.nan_to_num(warp_bank["flow"][slot]).astype(np.float64)
             wi = np.nan_to_num(warp_bank["iflow"][slot]).astype(np.float64)
-        tex0 = _center_crop(atlas_np[int(objs["tex_id"][k]) % T], H, W)
+        tid = int(objs["tex_id"][k]) % T
+        if obj_tex_np is not None:
+            tex0 = np.asarray(obj_tex_np[tid]).astype(np.float64)
+        else:
+            tex0 = _center_crop(atlas_np[tid], H, W)
         # masks via component algebra; MODE 9 warps each component's frame-1
         # masks BEFORE combining (components run base renderMasks themselves,
         # cpp:370-386, before Composite::renderMasks merges them).
