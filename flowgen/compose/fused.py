@@ -306,12 +306,13 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
         )(scenes)
 
     P, xs, ys = ps.resample_params(spec, H, W)
-    frames, flow = ps.scene_render_pallas(
+    frames, flow, ids = ps.scene_render_pallas(
         count, order, bg_tex, omi, omf, tmi, tmf, bgc, edges,
         slabs, bgslabs, flow_init, warp_aux, bgf,
         spec_key=(P, xs, ys, H, W),
         use_aa=cfg.use_antialiasing,
         inverse_flow=cfg.compute_inverse_flow,
+        emit_masks=cfg.emit_masks,
         interpret=interpret,
     )
 
@@ -328,6 +329,42 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
     image0 = unpack(frames[:, 0])
     image1 = unpack(frames[:, 1])
     flow0 = jnp.moveaxis(flow[:, 0:2], 1, -1)
+    out = [image0, image1, flow0]
     if cfg.compute_inverse_flow:
-        return image0, image1, flow0, jnp.moveaxis(flow[:, 2:4], 1, -1)
-    return image0, image1, flow0
+        out.append(jnp.moveaxis(flow[:, 2:4], 1, -1))
+    if cfg.emit_masks:
+        out += list(masks_from_ids(ids, flow[:, 0], flow[:, 1]))
+    return tuple(out)
+
+
+def masks_from_ids(ids, fx, fy):
+    """Occlusion + motion-boundary masks from the painter's index images.
+
+    ``occlusion``: frame-0 pixel p is occluded iff its flow target p + f(p)
+    leaves the frame or lands on a pixel owned by a DIFFERENT object in the
+    frame-1 index image (the generative-model definition; nearest-neighbor
+    id lookup). ``motion_boundary``: 4-neighborhood discontinuities of the
+    frame-0 index image. Returns two (B, H, W) bool arrays."""
+    B, _, H, W = ids.shape
+    ids0 = ids[:, 0]
+    ids1 = ids[:, 1]
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    tx = jnp.round(xx[None] + fx).astype(jnp.int32)
+    ty = jnp.round(yy[None] + fy).astype(jnp.int32)
+    oob = (tx < 0) | (tx >= W) | (ty < 0) | (ty >= H)
+    base = (jnp.arange(B) * H * W)[:, None, None]
+    flat_idx = base + jnp.clip(ty, 0, H - 1) * W + jnp.clip(tx, 0, W - 1)
+    target = jnp.take(ids1.reshape(-1), flat_idx)
+    occlusion = oob | (target != ids0)
+
+    p = jnp.pad(ids0, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    boundary = (
+        (ids0 != p[:, :-2, 1:-1])
+        | (ids0 != p[:, 2:, 1:-1])
+        | (ids0 != p[:, 1:-1, :-2])
+        | (ids0 != p[:, 1:-1, 2:])
+    )
+    return occlusion, boundary

@@ -294,6 +294,12 @@ class DataGenConfig:
     channel_order: str = "rgb"            # "rgb" or "bgr"
     layout: str = "nhwc"                  # "nhwc" (TPU-native) or "nchw" (Caffe)
     compute_inverse_flow: bool = False    # RenderCore::computeFlowImage(inverse=true)
+    # Optional per-pixel supervision masks (fused path only): "occlusion"
+    # (frame-0 pixels whose target is covered by a different object or leaves
+    # the frame) and "motion_boundary" (index-image discontinuities). The
+    # painter's pass knows the winning object per pixel, so these are nearly
+    # free; the reference has no equivalent output.
+    emit_masks: bool = False
     # Warp-field bank sizing (mode 9); see flowgen/warpfields/generator.py.
     warp_fields_per_batch: int = 1
     # Regenerate the warp-crop bank every N steps (the reference amortizes its

@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_raster import _area_accumulate
 from . import pallas_resample as resamp
+from ..config import BACKGROUND_OBJ_ID as BG_ID, FOREGROUND_ID_BASE as FG_ID_BASE
 
 # Window tile size: one VMEM-friendly unit of object evaluation.
 WIN_H = 192
@@ -283,7 +284,7 @@ def _pack3f(r, g, b):
 
 def _make_scene_kernel(
     H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
-    inverse_flow, has_warp=False, debug_level=3,
+    inverse_flow, has_warp=False, emit_masks=False, debug_level=3,
 ):
     wh, ww = min(WIN_H, H), min(WIN_W, W)
     whE = min(wh + 2 * WARP_EY, H)
@@ -310,6 +311,8 @@ def _make_scene_kernel(
         if has_warp:
             aux_hbm = refs[i]; bgf_hbm = refs[i + 1]; i += 2
         frames_out, flow_out = refs[i], refs[i + 1]; i += 2
+        if emit_masks:
+            ids_out = refs[i]; i += 1
         (acc0, acc1, accf, smeta, omi, omf, tmi, tmf, bgm, edges_smem,
          rows, t1, t1t, outt, cov_aa, cov_in, cov_area) = refs[i:i + 17]
         i += 17
@@ -317,6 +320,8 @@ def _make_scene_kernel(
             (covE_aa, covE_in, covE_area, texE, igbuf, ivbuf,
              dtmp, dtmpT, frows, ft1) = refs[i:i + 10]
             i += 10
+        if emit_masks:
+            idacc = refs[i]; i += 1
         sems = refs[i]
 
         b = pl.program_id(0)
@@ -340,6 +345,10 @@ def _make_scene_kernel(
             cp.start()
         for cp in loads:
             cp.wait()
+        if emit_masks:
+            # Index images (RenderCore cpp:740-774): background id everywhere,
+            # object ids painted below.
+            idacc[...] = jnp.full_like(idacc, BG_ID)
 
         # Flat SMEM accessors (metadata layouts in the module header).
         def OMI(k, frame, field):
@@ -474,6 +483,15 @@ def _make_scene_kernel(
             fb = jnp.round(fb * (1.0 - m) + tb * m)
             acc_frame[pl.ds(y0, wh), pl.ds(x0, ww)] = _pack3f(fr, fg, fb)
 
+        def write_ids(k, frame, mask01, y0, x0):
+            # Painter's index image: the object id where the binary mask
+            # fully covers (blitObject, cpp:765-774; fg ids = 10 + slot).
+            mi = mask01.astype(jnp.int32)
+            old = idacc[frame, pl.ds(y0, wh), pl.ds(x0, ww)]
+            idacc[frame, pl.ds(y0, wh), pl.ds(x0, ww)] = (
+                (FG_ID_BASE + k) * mi + old * (1 - mi)
+            )
+
         def motion_scalars(k, frame):
             return tuple(OMF(k, frame, OMF_MOTION + j) for j in range(6))
 
@@ -580,6 +598,9 @@ def _make_scene_kernel(
                         t1, t1t, outt, xscan, yscan, sw=SWs,
                     )
                 blend_window(acc_frame, y0, x0, m, tr, tg, tb)
+                if emit_masks:
+                    write_ids(k, frame, cov_in[:] * own_mask(k, frame, t,
+                                                            y0, x0), y0, x0)
 
                 emit = (frame == 0) or inverse_flow
                 if emit:
@@ -709,6 +730,8 @@ def _make_scene_kernel(
                 tgW = disp(texE.at[1])
                 tbW = disp(texE.at[2])
                 blend_window(acc_frame, y0, x0, m, trW, tgW, tbW)
+                if emit_masks:
+                    write_ids(k, frame, inW * own, y0, x0)
 
         def obj(i, _):
             k = smeta[0, 1 + i]
@@ -741,6 +764,10 @@ def _make_scene_kernel(
             pltpu.make_async_copy(acc1, frames_out.at[b, 1], sems.at[1]),
             pltpu.make_async_copy(accf, flow_out.at[b], sems.at[2]),
         ]
+        if emit_masks:
+            stores.append(
+                pltpu.make_async_copy(idacc, ids_out.at[b], sems.at[3])
+            )
         for cp in stores:
             cp.start()
         for cp in stores:
@@ -755,14 +782,14 @@ def _pad128(n: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec_key", "use_aa", "inverse_flow", "interpret",
-                     "debug_level"),
+    static_argnames=("spec_key", "use_aa", "inverse_flow", "emit_masks",
+                     "interpret", "debug_level"),
 )
 def scene_render_pallas(
     count, order, bg_tex, omi, omf, tmi, tmf, bgc, edges, slabs, bgslabs,
     flow_init, warp_aux=None, bgf=None,
-    *, spec_key, use_aa=True, inverse_flow=False, interpret=False,
-    debug_level=3,
+    *, spec_key, use_aa=True, inverse_flow=False, emit_masks=False,
+    interpret=False, debug_level=3,
 ):
     """Run the scene megakernel over a batch.
 
@@ -806,7 +833,7 @@ def scene_render_pallas(
 
     kernel = _make_scene_kernel(
         H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
-        inverse_flow, has_warp, debug_level,
+        inverse_flow, has_warp, emit_masks, debug_level,
     )
 
     # Flatten + pad the metadata to (B, mult-of-128) HBM rows.
@@ -878,30 +905,38 @@ def scene_render_pallas(
             pltpu.VMEM((P, Wp), jnp.float32),        # frows
             pltpu.VMEM((P, ww), jnp.float32),        # ft1
         ]
+    if emit_masks:
+        scratch.append(pltpu.VMEM((2, H, W), jnp.int32))
     scratch.append(pltpu.SemaphoreType.DMA((8,)))
 
     n_in = 10 + (2 if has_warp else 0)
+    n_out = 3 if emit_masks else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B,),
         in_specs=[any_spec] * n_in,
-        out_specs=(any_spec, any_spec),
+        out_specs=(any_spec,) * n_out,
         scratch_shapes=scratch,
     )
     inputs = [smeta, omi_f, omf_f, tmi_f, tmf_f, bgc_f, edges, slabs,
               bgslabs, flow_init]
     if has_warp:
         inputs += [warp_aux, bgf]
-    frames, flow = pl.pallas_call(
+    out_shape = [
+        jax.ShapeDtypeStruct((B, 2, H, W), jnp.int32),
+        jax.ShapeDtypeStruct((B, nflow, H, W), jnp.float32),
+    ]
+    if emit_masks:
+        out_shape.append(jax.ShapeDtypeStruct((B, 2, H, W), jnp.int32))
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 2, H, W), jnp.int32),
-            jax.ShapeDtypeStruct((B, nflow, H, W), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*inputs)
-    return frames, flow
+    if emit_masks:
+        return out
+    return out[0], out[1], None

@@ -38,7 +38,8 @@ from .. import texture_io
 from ..texture_io import TextureDB
 
 
-def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig):
+def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig,
+                  masks=None):
     """Apply output-compatibility transforms. The reference emits float batches
     {B,3,H,W} in 0..255 BGR plus {B,2,H,W} flow (data_generation_layer.cpp:
     227-229; BGR swap at texture load, DataGenerator.cpp:129-131)."""
@@ -50,6 +51,8 @@ def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig):
         out["flow1"] = flow1
     if cfg.layout == "nchw":
         out = {k: jnp.moveaxis(v, -1, 1) for k, v in out.items()}
+    if masks is not None:
+        out["occlusion"], out["motion_boundary"] = masks  # (B, H, W) bool
     return out
 
 
@@ -133,13 +136,18 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
             tex_sizes=None if db is None else jnp.asarray(db.sizes),
         )
     else:
+        if cfg.emit_masks:
+            raise NotImplementedError(
+                "emit_masks requires the fused render path (TPU backend with "
+                "a fused-eligible mode; see pallas_scene.fused_eligible)"
+            )
         rendered = render_batch(scenes, atlas, cfg, warp_bank)
-    if cfg.compute_inverse_flow:
-        i0, i1, f0, f1 = rendered
-    else:
-        i0, i1, f0 = rendered
-        f1 = None
-    return _adapt_output(i0, i1, f0, f1, cfg)
+    rendered = list(rendered)
+    i0, i1, f0 = rendered[:3]
+    rest = rendered[3:]
+    f1 = rest.pop(0) if cfg.compute_inverse_flow else None
+    masks = tuple(rest) if cfg.emit_masks else None
+    return _adapt_output(i0, i1, f0, f1, cfg, masks)
 
 
 def make_atlas_packer():

@@ -191,7 +191,7 @@ def _upscale2_field(field, out_h, out_w):
 
 
 def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
-                        warp_bank=None, obj_tex_np=None):
+                        warp_bank=None, obj_tex_np=None, return_ids=False):
     """Render one scene (numpy-converted Scene pytree, no batch dim) the
     reference way. Returns (image0, image1, flow0) float arrays.
 
@@ -258,6 +258,8 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
     # --- Foreground objects, ascending id (cpp:1216-1226) ---
     K = objs["valid"].shape[0]
     cyy, cxx = iyy + 0.5, ixx + 0.5
+    ids0 = np.ones((H, W), np.int32)   # background id 1 (layer cpp:202)
+    ids1 = np.ones((H, W), np.int32)
     for k in range(K):
         if not objs["valid"][k]:
             continue
@@ -339,7 +341,11 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
             oy = oy + np.where(inb, add[..., 1], 0.0)
         flow[..., 0] = np.where(in0, ox, flow[..., 0])
         flow[..., 1] = np.where(in0, oy, flow[..., 1])
+        ids0 = np.where(in0, 10 + k, ids0)   # fg ids 10+i (layer cpp:210)
+        ids1 = np.where(in1, 10 + k, ids1)
 
+    if return_ids:
+        return frame0, frame1, flow, ids0, ids1
     return frame0, frame1, flow
 
 
