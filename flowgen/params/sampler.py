@@ -159,8 +159,16 @@ def flatten_outline(verts, types, n):
     pts = pts.reshape(MAX_EDGES, 2)
 
     n_pts = jnp.sum(keep).astype(jnp.int32)
-    order = jnp.argsort(~keep, stable=True)
-    pts = pts[order]
+    # Compaction as an exact one-hot permutation matmul: kept slot e lands at
+    # output row cumsum(keep)-1. A sort+gather formulation costs an argsort
+    # plus ~120 gather rows per primitive (~8 ms/batch across B*K*C prims);
+    # the one-hot contraction is MXU work and each output is a single exact
+    # term (Precision.HIGHEST keeps the f32 coordinates un-rounded).
+    pos = jnp.cumsum(keep) - 1
+    onehot = (
+        (pos[None, :] == jnp.arange(MAX_EDGES)[:, None]) & keep[None, :]
+    ).astype(jnp.float32)
+    pts = jnp.matmul(onehot, pts, precision=jax.lax.Precision.HIGHEST)
     pts = jnp.where((jnp.arange(MAX_EDGES) < n_pts)[:, None], pts, pts[0])
     return pts, n_pts
 
