@@ -28,7 +28,7 @@ from .config import (
     MODES,
     DataGenConfig,
     ModeSpec,
-    register_mode,
+    register_mode, disparity_mode,
 )
 from .compose.render import (
     RenderOutput,
@@ -48,7 +48,7 @@ __all__ = [
     "DataGenConfig",
     "ModeSpec",
     "MODES",
-    "register_mode",
+    "register_mode, disparity_mode",
     "Generator",
     "Scene",
     "RenderOutput",

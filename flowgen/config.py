@@ -83,6 +83,12 @@ class ModeSpec:
     allow_curves: bool = False        # Curve3 trigger active (modes 4-13)
     use_thin: bool = False            # thin-object logic consulted (modes 7, 9-13)
     warp_p: float = 0.0               # nonrigid deformation trigger (mode 9: 0.2)
+    # Disparity-pair generation (the sibling capability of the IJCV paper's
+    # framework; not in the reference repo, which is flow-only): motion is
+    # constrained to horizontal translation — no rotation/scaling, zero
+    # vertical components — so (image0, image1) form a rectified stereo pair
+    # and disparity = -flow_x. See disparity_mode().
+    horizontal_only: bool = False
 
     # --- Parameters identical across all 13 modes ---
     bg_init_rot_range: Tuple[float, float] = (-PI, PI)    # applied as DEGREES by CImg
@@ -253,6 +259,29 @@ MODES = {
 }
 
 
+def disparity_mode(base_mode: int = 7, mode_id: int = None) -> int:
+    """Register (or return) a disparity variant of ``base_mode``: the same
+    shape/texture/placement recipe with motion restricted to horizontal
+    translation. Generated batches then satisfy the rectified-stereo
+    constraint (flow_y == 0 everywhere) and carry a ``disparity`` output
+    (= -flow_x). Default ids: 100 + base_mode."""
+    if mode_id is None:
+        mode_id = 100 + base_mode
+    if mode_id in MODES:
+        return mode_id
+    base = MODES[base_mode]
+    spec = dataclasses.replace(
+        base,
+        mode=mode_id,
+        horizontal_only=True,
+        bg_rot_p=0.0, bg_scale_p=0.0,
+        obj_rot_p=0.0, obj_scale_p=0.0,
+        warp_p=0.0,
+    )
+    MODES[mode_id] = spec
+    return mode_id
+
+
 def register_mode(spec: ModeSpec) -> int:
     """Register a custom scene recipe under ``spec.mode``.
 
@@ -319,7 +348,13 @@ class DataGenConfig:
 
     def __post_init__(self):
         if self.mode not in MODES:
-            raise ValueError(f"BAD MODE {self.mode}; valid modes are 1..13")
+            if 101 <= self.mode <= 113 and (self.mode - 100) in MODES:
+                disparity_mode(self.mode - 100)   # auto-register 10x ids
+            else:
+                raise ValueError(
+                    f"BAD MODE {self.mode}; valid modes are 1..13, "
+                    "registered customs, or 10x disparity variants"
+                )
         if self.channel_order not in ("rgb", "bgr"):
             raise ValueError("channel_order must be 'rgb' or 'bgr'")
         if self.layout not in ("nhwc", "nchw"):

@@ -212,6 +212,8 @@ def sample_background(skey, spec: ModeSpec, width, height, n_warp_slots):
     )
     pre_tx = shapers.gaussian_4(*spec.bg_trans_range, normal(sk(Stream.BG_TRANS_X)))
     pre_ty = shapers.gaussian_4(*spec.bg_trans_range, normal(sk(Stream.BG_TRANS_Y)))
+    if spec.horizontal_only:
+        pre_ty = jnp.zeros_like(pre_ty)   # rectified stereo: x-shift only
     # Rotate the translation into the post-rotation frame (cpp:2124-2129).
     tx = jnp.cos(-rot) * pre_tx - jnp.sin(-rot) * pre_ty
     ty = jnp.sin(-rot) * pre_tx + jnp.cos(-rot) * pre_ty
@@ -288,6 +290,8 @@ def sample_scene(
         )
         tx = shapers.gaussian_cube(*spec.obj_trans_range, normal(ok(Stream.OBJ_TRANS_X)))
         ty = shapers.gaussian_cube(*spec.obj_trans_range, normal(ok(Stream.OBJ_TRANS_Y)))
+        if spec.horizontal_only:
+            ty = jnp.zeros_like(ty)       # rectified stereo: x-shift only
         tex_id = uniform_int(ok(Stream.OBJ_TEX_ID), 0, 1 << 30)
         thin = spec.use_thin & shapers.trigger(
             spec.thin_p, uniform(ok(Stream.OBJ_IS_EXTRA_THIN), 0.0, 1.0)

@@ -53,6 +53,12 @@ def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig,
         out = {k: jnp.moveaxis(v, -1, 1) for k, v in out.items()}
     if masks is not None:
         out["occlusion"], out["motion_boundary"] = masks  # (B, H, W) bool
+    if cfg.mode_spec.horizontal_only:
+        # Rectified-stereo semantics: left = image0, right = image1,
+        # disparity positive for leftward apparent motion.
+        out["disparity"] = -(
+            flow0[..., 0] if cfg.layout == "nhwc" else out["flow0"][:, 0]
+        )
     return out
 
 
