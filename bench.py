@@ -100,9 +100,16 @@ def main():
         )
         return
 
+    t_start = time.time()
     rate7, pipe7 = _bench_mode(7, batch, 16, atlas_np, pipelined=True)
-    rate1, _ = _bench_mode(1, batch, 6, atlas_np)
-    rate9, _ = _bench_mode(9, batch, 6, atlas_np)
+    modes = {"7": round(rate7, 2)}
+    # Secondary modes are skipped if first-compiles have already eaten the
+    # harness budget (the payload stays one JSON line either way).
+    for m, steps in ((1, 6), (9, 6)):
+        if time.time() - t_start > 420:
+            break
+        r, _ = _bench_mode(m, batch, steps, atlas_np)
+        modes[str(m)] = round(r, 2)
     print(
         json.dumps(
             {
@@ -110,11 +117,7 @@ def main():
                 "value": round(rate7, 2),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(rate7 / BASELINE_PER_CHIP, 4),
-                "modes": {
-                    "1": round(rate1, 2),
-                    "7": round(rate7, 2),
-                    "9": round(rate9, 2),
-                },
+                "modes": modes,
                 "pipelined": round(pipe7, 2),
                 "batch": batch,
                 "steps": 16,

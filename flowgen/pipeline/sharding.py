@@ -36,7 +36,7 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
 
     local_cfg = dataclasses.replace(cfg, batch_size=cfg.batch_size // n)
 
-    def local_step(root, step, atlas, warp_bank=None):
+    def local_step(root, step, atlas, slabs, warp_bank=None, warp_aux=None):
         # Device ``di`` renders global sample indices
         # step*B + di*B_local + [0, B_local): the union over devices equals the
         # single-device index set for the same step, so content is invariant to
@@ -44,7 +44,8 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
         di = lax.axis_index(axis)
         base = step * cfg.batch_size + di * local_cfg.batch_size
         return generate_batch(
-            root, step, atlas, local_cfg, base_index=base, warp_bank=warp_bank
+            root, step, atlas, local_cfg, base_index=base,
+            warp_bank=warp_bank, slabs=slabs, warp_aux=warp_aux,
         )
 
     def shmap(fn, in_specs):
@@ -60,13 +61,27 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
             check_vma=False,
         )
 
-    from .generator import make_atlas_packer
+    from .generator import make_atlas_packer, make_slab_packer, use_fused_path
 
     packed = make_atlas_packer()
+    # Fused-path texture slabs are step-invariant: cache them host-side and
+    # pass replicated (deriving them inline would rebuild the packed slabs on
+    # every device every step). P() = fully replicated for any leaf rank.
+    import dataclasses as _dc
+
+    slab_of = make_slab_packer(_dc.replace(cfg, batch_size=local_cfg.batch_size))
 
     if cfg.mode_spec.warp_p == 0.0:
-        gen = jax.jit(shmap(local_step, (P(), P(), P(*[None] * 4))))
-        return lambda root, step, atlas: gen(root, step, packed(atlas))
+        def rigid_step(root, step, atlas, slabs):
+            return local_step(root, step, atlas, slabs)
+
+        gen = jax.jit(shmap(rigid_step, (P(), P(), P(), P())))
+
+        def fn(root, step, atlas):
+            a = packed(atlas)
+            return gen(root, step, a, slab_of(a))
+
+        return fn
 
     # Mode 9: the warp-crop bank is identical on every device (it is keyed by
     # (root, bank epoch), not by sample index), so deriving it inside
@@ -78,7 +93,7 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
     # caching as make_generate_fn's unsharded branch.
     from ..warpfields import generator as warpgen
 
-    gen = jax.jit(shmap(local_step, (P(), P(), P(*[None] * 4), P())))
+    gen = jax.jit(shmap(local_step, (P(), P(), P(), P(), P(), P())))
     import functools
 
     import jax.numpy as jnp
@@ -87,14 +102,22 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
         functools.partial(warpgen.make_warp_bank, cfg=cfg),
         out_shardings=NamedSharding(mesh, P()),
     )
+    fused = use_fused_path(_dc.replace(cfg, batch_size=local_cfg.batch_size))
+    aux_fn = jax.jit(
+        warpgen.make_warp_aux, out_shardings=NamedSharding(mesh, P())
+    )
     cache = {}
 
     def fn(root, step, atlas):
         epoch = int(step) // max(cfg.warp_bank_reuse_steps, 1)
         if cache.get("epoch") != epoch:
             cache["bank"] = bank_fn(root, jnp.int32(step))
+            cache["aux"] = aux_fn(cache["bank"]) if fused else None
             cache["epoch"] = epoch
-        return gen(root, jnp.int32(step), packed(atlas), cache["bank"])
+        a = packed(atlas)
+        return gen(
+            root, jnp.int32(step), a, slab_of(a), cache["bank"], cache["aux"]
+        )
 
     return fn
 
