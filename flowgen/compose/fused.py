@@ -18,9 +18,11 @@ resampler, whose only deviation from true bilinear is interpolation along the
 shear direction (see ops/pallas_resample.py — sub-level, same order as the
 reference's own multi-resample blur).
 
-Eligibility is static per (mode, frame dims): ``pallas_scene.fused_eligible``
-— no nonrigid warps (mode 9) and a total-rotation envelope < 45 deg (modes
-11/13 exceed it). Ineligible configs fall back to render.render_batch.
+Eligibility is static per frame dims only (``pallas_scene.fused_eligible``):
+every mode runs in-kernel — rotation envelopes beyond the resampler's 45-deg
+conditioning bound (modes 11/13) are quadrant-factored (``_quadrant_factor``),
+nonrigid deformation (mode 9) and inverse flow run in-kernel. Non-(8,128)-
+aligned frame dims fall back to render.render_batch.
 """
 
 from __future__ import annotations
@@ -115,7 +117,47 @@ def _fold_coeffs(t, cx, cy, nx, ny, margin):
     return jnp.stack([A, B_, C_, c, d, f], axis=-1)      # [K,T,6]
 
 
-def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
+def _quadrant_factor(minv, W, H):
+    """Factor each frame-1 sampling affine [K, 2, 3] (output -> source) as
+    quadrant * residual so the banded resampler's |rot| < 45 deg conditioning
+    holds for ANY object rotation (modes 11/13 reach +-123 deg; reference AGG
+    spans handle arbitrary affines, DataGenerator.cpp:203-221).
+
+    q = round(theta / 90deg) in {-2..2}. The 180-deg part is the point
+    reflection S: p -> -1-p, under which the reflect-wrap extension is
+    pointwise INVARIANT (AGG reflect at -1-t equals t), so composing S costs
+    nothing and flips the linear part by R(180). The +-90-deg parts compose
+    the coordinate swap Q: (x,y) -> (y, W-1-x) and sample the rot90 slab copy
+    (texture id offset by the atlas size). Residual rotation = theta - q*90
+    in [-45, 45] deg always.
+
+    Returns (t_eff [K,2,3], rot90 [K] bool): the composed affine into the
+    (possibly rotated) slab's source coords and the odd-quadrant flag."""
+    theta = jnp.arctan2(minv[:, 1, 0], minv[:, 0, 0])
+    q = jnp.round(theta / (jnp.pi / 2)).astype(jnp.int32)
+    mirror = (q == -1) | (jnp.abs(q) == 2)
+    rot90 = jnp.abs(q) == 1
+    # S o M: negate everything, translation gets the extra -1.
+    tm = jnp.where(
+        mirror[:, None, None],
+        jnp.concatenate([-minv[..., :2], -minv[..., 2:] - 1.0], axis=-1),
+        minv,
+    )
+    # Q o M: row0' = row1; row1' = -row0 except translation W-1 - t0.
+    tq = jnp.stack(
+        [
+            tm[:, 1, :],
+            jnp.concatenate(
+                [-tm[:, 0, :2], (W - 1.0) - tm[:, 0, 2:]], axis=-1
+            ),
+        ],
+        axis=1,
+    )
+    return jnp.where(rot90[:, None, None], tq, tm), rot90
+
+
+def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int,
+                         quadrant: bool = False):
     """Build one sample's megakernel operands (vmap over the batch)."""
     H, W = cfg.height, cfg.width
     wh, ww = min(ps.WIN_H, H), min(ps.WIN_W, W)
@@ -176,9 +218,20 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
 
     warp_slot = objs.warp_slot.astype(jnp.int32)
 
-    def omi_frame(on, nty, ntx):
+    # Frame-1 quadrant factoring (large rotations -> rot90 slabs + residual).
+    if quadrant:
+        t_samp1, rot90_k = _quadrant_factor(objs.motion_inv, float(W), float(H))
+        tex_id1 = tex_id + n_textures * rot90_k.astype(jnp.int32)
+        nx1 = jnp.where(rot90_k, float(H), float(W))[:, None]
+        ny1 = jnp.where(rot90_k, float(W), float(H))[:, None]
+    else:
+        t_samp1 = objs.motion_inv
+        tex_id1 = tex_id
+        nx1, ny1 = float(W), float(H)
+
+    def omi_frame(on, nty, ntx, tex):
         cols = [
-            on.astype(jnp.int32), nty, ntx, tex_id,
+            on.astype(jnp.int32), nty, ntx, tex,
             n_prims, add_bits, poly_bits, warp_k.astype(jnp.int32),
         ]
         cols += [prims.n_edges[:, c].astype(jnp.int32) for c in range(C)]
@@ -187,7 +240,8 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
         return jnp.stack(cols, axis=-1)                   # [K,OMI_SIZE]
 
     omi = jnp.stack(
-        [omi_frame(on0, nty0, ntx0), omi_frame(on1, nty1, ntx1)], axis=1
+        [omi_frame(on0, nty0, ntx0, tex_id),
+         omi_frame(on1, nty1, ntx1, tex_id1)], axis=1
     ).astype(jnp.int32)                                   # [K,2,OMI_SIZE]
 
     # --- per-object float meta + edges ---
@@ -213,7 +267,7 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
     ctrx = tmi1[..., ps.TMI_X0].astype(jnp.float32) + ww / 2.0   # [K,T]
     ctry = tmi1[..., ps.TMI_Y0].astype(jnp.float32) + wh / 2.0
     coef1 = _fold_coeffs(
-        objs.motion_inv, ctrx, ctry, W, H, float(ps.SLAB_MARGIN)
+        t_samp1, ctrx, ctry, nx1, ny1, float(ps.SLAB_MARGIN)
     )                                                     # [K,T,6]
     tmf1 = jnp.pad(coef1, ((0, 0), (0, 0), (0, ps.TMF_SIZE - 6)))
     tmf = jnp.stack([jnp.zeros_like(tmf1), tmf1], axis=1) # [K,2,T,8]
@@ -221,19 +275,19 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int):
     return count, order, omi, omf, tmi, tmf.astype(jnp.float32), edges
 
 
-def _bg_tile_coeffs(scene: Scene, cfg: DataGenConfig, src_h, src_w):
-    """Background resample coefficients per frame per static full-frame tile:
-    frame 0 samples the (src_h, src_w) source through crop_t o T(+center),
-    frame 1 through crop_t o bg_big_inv o T(+center) (the affines of
-    render.background_pass), with the reflect fold composed per tile.
-    ``src_h``/``src_w`` may be traced per-sample native dims (TextureDB
-    path) — the crop transform then includes the reference's small-source
-    resize-only fallback, and the reflect fold uses the native periods.
-    Returns (2, NBT, 6)."""
+def _bg_meta_payload(scene: Scene, cfg: DataGenConfig, src_h, src_w):
+    """Per-sample background metadata vector (ps.BGM_SIZE f32): the RAW
+    output->source affines of both frames (frame 0: crop_t o T(+center);
+    frame 1: crop_t o bg_big_inv o T(+center) — the affines of
+    render.background_pass), the source reflect periods, the bg pixel motion
+    (conjugated about the frame center), and the forward-field sampling
+    affine u = (pixmot(p) + center + 0.5)/2 - 0.5 (the x2-upscaled field of
+    cpp:1194-1202 read from the native crop). Reflect folds are chosen
+    IN-KERNEL per tile (ps.scalar_fold_coeffs). ``src_h``/``src_w`` may be
+    traced per-sample native dims (TextureDB path)."""
     from ..ops import texture as tex_mod
 
     H, W = cfg.height, cfg.width
-    wh, ww = min(ps.WIN_H, H), min(ps.WIN_W, W)
     bg = scene.background
     crop_t = tex_mod.randomized_crop_transform_native(
         src_h, src_w, 2 * H, 2 * W,
@@ -245,17 +299,23 @@ def _bg_tile_coeffs(scene: Scene, cfg: DataGenConfig, src_h, src_w):
         affine.conjugate_about(bg.motion, float(W), float(H))
     )
     t1 = affine.chain(center, bg_big_inv, crop_t)
-    tiles = [
-        (min(ty * wh, H - wh), min(tx * ww, W - ww))
-        for ty in range(-(-H // wh))
-        for tx in range(-(-W // ww))
-    ]
-    cx = jnp.array([x0 + ww / 2.0 for (_, x0) in tiles], jnp.float32)
-    cy = jnp.array([y0 + wh / 2.0 for (y0, _) in tiles], jnp.float32)
-    margin = float(ps.SLAB_MARGIN)
-    c0 = _fold_coeffs(t0, cx, cy, src_w, src_h, margin)
-    c1 = _fold_coeffs(t1, cx, cy, src_w, src_h, margin)
-    return jnp.stack([c0, c1], 0)
+    pixmot = affine.conjugate_about(bg.motion, W / 2.0, H / 2.0)
+    flin = pixmot[:, :2] * 0.5
+    ftr = (
+        pixmot[:, 2] + jnp.array([W / 2.0, H / 2.0]) + 0.5
+    ) * 0.5 - 0.5
+    faff = jnp.concatenate([flin, ftr[:, None]], axis=1)
+    zeros2 = jnp.zeros((2,), jnp.float32)
+    return jnp.concatenate(
+        [
+            t0.reshape(6), t1.reshape(6),
+            jnp.stack([jnp.asarray(src_w, jnp.float32),
+                       jnp.asarray(src_h, jnp.float32)]),
+            zeros2,
+            pixmot.reshape(6), zeros2,
+            faff.reshape(6), zeros2,
+        ]
+    )
 
 
 def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
@@ -263,53 +323,61 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
                        quad_atlas=None, warp_bank=None, warp_aux=None,
                        tex_sizes=None):
     """Fused render of a batch: frames entirely in the scene megakernel
-    (background + objects), flow init in XLA. ``src_hw``: the texture
-    sources' (height, width) — the bg slabs' unpadded dims. For nonrigid
-    modes pass ``quad_atlas`` + ``warp_bank`` + ``warp_aux``
-    (warpfields.generator.make_warp_aux): object deformation runs in-kernel;
-    the background takes the XLA warp path and enters pre-rendered. Output
-    signature matches render.render_batch."""
+    (background + objects, including mode-9 deformation of both), affine
+    flow init in XLA (warp-field flow terms are added in-kernel).
+    ``src_hw``: the texture sources' (height, width) — the bg slabs'
+    unpadded dims. For nonrigid modes pass ``warp_aux`` from
+    warpfields.generator.make_warp_aux (an (obj_aux, bg_aux) pair).
+    ``quad_atlas``/``warp_bank`` are accepted for callers that share them
+    with the windowed path but are not used here. Output signature matches
+    render.render_batch."""
+    del quad_atlas, warp_bank
     H, W = cfg.height, cfg.width
     spec = cfg.mode_spec
     has_warp = spec.warp_p > 0.0
-    bgf = None
 
-    if has_warp:
-        f0, f1, fx, fy, ifx, ify = jax.lax.map(
-            lambda s: render_mod.background_pass(s, quad_atlas, cfg, warp_bank),
-            scenes,
-        )
-        from ..ops.pallas_resample import pack_rgb_i32
-
-        bgf = jnp.stack([pack_rgb_i32(f0), pack_rgb_i32(f1)], axis=1)
-    else:
-        fx, fy, ifx, ify = jax.vmap(
-            lambda s: render_mod.background_flow(s, cfg)
-        )(scenes)
+    fx, fy, ifx, ify = jax.vmap(
+        lambda s: render_mod.background_flow(s, cfg)
+    )(scenes)
     if cfg.compute_inverse_flow:
         flow_init = jnp.stack([fx, fy, ifx, ify], axis=1)
     else:
         flow_init = jnp.stack([fx, fy], axis=1)
 
+    quadrant = ps.quadrant_needed(spec)
+    n_tex = slabs.shape[0] // 2 if quadrant else slabs.shape[0]
     count, order, omi, omf, tmi, tmf, edges = jax.vmap(
-        lambda s: prepare_scene_inputs(s, cfg, slabs.shape[0])
+        lambda s: prepare_scene_inputs(s, cfg, n_tex, quadrant=quadrant)
     )(scenes)
     bg_tex = scenes.background.tex_id % bgslabs.shape[0]
+    bg = scenes.background
+    bg_meta = jnp.stack(
+        [
+            bg_tex.astype(jnp.int32),
+            bg.warp.astype(jnp.int32),
+            bg.warp_slot.astype(jnp.int32),
+        ],
+        axis=1,
+    )
     if tex_sizes is not None:
         sz = jnp.asarray(tex_sizes)[bg_tex]           # [B, 2] native (h, w)
-        bgc = jax.vmap(
-            lambda s, hw: _bg_tile_coeffs(s, cfg, hw[0], hw[1])
+        bgm = jax.vmap(
+            lambda s, hw: _bg_meta_payload(s, cfg, hw[0], hw[1])
         )(scenes, sz)
     else:
-        bgc = jax.vmap(
-            lambda s: _bg_tile_coeffs(s, cfg, src_hw[0], src_hw[1])
+        bgm = jax.vmap(
+            lambda s: _bg_meta_payload(s, cfg, src_hw[0], src_hw[1])
         )(scenes)
 
-    P, xs, ys = ps.resample_params(spec, H, W)
+    obj_aux = bg_aux = None
+    if has_warp:
+        obj_aux, bg_aux = warp_aux
+
+    P, PBG, xs, ys = ps.resample_params(spec, H, W)
     frames, flow, ids = ps.scene_render_pallas(
-        count, order, bg_tex, omi, omf, tmi, tmf, bgc, edges,
-        slabs, bgslabs, flow_init, warp_aux, bgf,
-        spec_key=(P, xs, ys, H, W),
+        count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges,
+        slabs, bgslabs, flow_init, obj_aux, bg_aux,
+        spec_key=(P, PBG, xs, ys, H, W),
         use_aa=cfg.use_antialiasing,
         inverse_flow=cfg.compute_inverse_flow,
         emit_masks=cfg.emit_masks,

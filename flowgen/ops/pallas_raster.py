@@ -71,6 +71,75 @@ def _area_accumulate(edges_ref, base, n_edges, px, py, area_ref):
     lax.fori_loop(0, n_edges, edge, 0)
 
 
+def _area_accumulate_blocked(edges_ref, base, n_edges, oy, ox, area_ref,
+                             gh: int, gw: int):
+    """Row-block-culled twin of :func:`_area_accumulate` for regular pixel
+    grids: cell centers at ``(ox + j + 0.5, oy + i + 0.5)`` over an
+    ``(gh, gw)`` window (``gh`` a multiple of 8).
+
+    The per-cell exact-area formula is identically zero for every cell row
+    whose unit slab ``[oy+i, oy+i+1]`` lies outside the edge's y-extent
+    (``ta == tb`` collapses the integral), so each edge only visits the 8-row
+    blocks its y-span touches — typically 2-5 of the window's ``gh/8``. This
+    is a pure evaluation-order change: the accumulated values are bit-exact
+    vs the dense loop (skipped contributions are exactly 0.0)."""
+    nb = gh // 8
+    oyf = oy.astype(jnp.float32)
+    oxf = ox.astype(jnp.float32)
+    xlo = (
+        lax.broadcasted_iota(jnp.int32, (8, gw), 1).astype(jnp.float32) + oxf
+    )
+
+    def edge(e, _):
+        ax = edges_ref[0, base + e]
+        ay = edges_ref[1, base + e]
+        bx = edges_ref[2, base + e]
+        by = edges_ref[3, base + e]
+        dx = bx - ax
+        dy = by - ay
+        inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, 0.0)
+        inv_dx = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, 0.0)
+
+        # Window rows whose slab [oy+i, oy+i+1] meets [min(ay,by), max(ay,by)]:
+        # i in [floor(min - oy) - 1, floor(max - oy)] (conservative by one).
+        ylo_e = jnp.minimum(ay, by) - oyf
+        yhi_e = jnp.maximum(ay, by) - oyf
+        rlo = jnp.floor(ylo_e).astype(jnp.int32) - 1
+        rhi = jnp.floor(yhi_e).astype(jnp.int32)
+        rb0 = jnp.clip(rlo, 0, gh) >> 3
+        rb1 = (jnp.clip(rhi, -1, gh - 1) >> 3) + 1
+
+        def blk(rb, _):
+            r8 = pl.multiple_of(rb * 8, 8)
+            ylo = (
+                lax.broadcasted_iota(jnp.int32, (8, gw), 0) + r8
+            ).astype(jnp.float32) + oyf
+            r0 = (ylo - ay) * inv_dy
+            r1 = (ylo + 1.0 - ay) * inv_dy
+            ta = jnp.clip(jnp.minimum(r0, r1), 0.0, 1.0)
+            tb = jnp.clip(jnp.maximum(r0, r1), 0.0, 1.0)
+            s0 = (xlo - ax) * inv_dx
+            s1 = (xlo + 1.0 - ax) * inv_dx
+            p = jnp.clip(jnp.minimum(s0, s1), ta, tb)
+            q = jnp.clip(jnp.maximum(s0, s1), ta, tb)
+            ga = jnp.clip(ax + ta * dx - xlo, 0.0, 1.0)
+            gp = jnp.clip(ax + p * dx - xlo, 0.0, 1.0)
+            gq = jnp.clip(ax + q * dx - xlo, 0.0, 1.0)
+            gb = jnp.clip(ax + tb * dx - xlo, 0.0, 1.0)
+            integral = (
+                ga * (p - ta) + 0.5 * (gp + gq) * (q - p) + gb * (tb - q)
+            )
+            area_ref[pl.ds(r8, 8), :] = (
+                area_ref[pl.ds(r8, 8), :] + dy * integral
+            )
+            return 0
+
+        lax.fori_loop(rb0, jnp.minimum(rb1, nb), blk, 0)
+        return 0
+
+    lax.fori_loop(0, n_edges, edge, 0)
+
+
 def _kernel(edges_ref, n_ref, px_ref, py_ref, aa_ref, in_ref, area_ref):
     px = px_ref[:]
     py = py_ref[:]

@@ -12,6 +12,14 @@ an AFFINE warp has structure: decompose it into two 1-D passes whose sampling
 positions move linearly, and every gather lands within a handful of 128-lane
 tiles that a short static loop covers at vector speed.
 
+Rotations beyond the |rot| < 45 deg conditioning bound (modes 11/13 reach
+±123 deg total) are factored as quadrant ∘ residual on the XLA side
+(compose/fused.py): the 90-deg part becomes a rot90 slab copy + affine
+coordinate swap, the 180-deg part is FREE — the reflect-wrap extension is
+invariant under the point reflection p -> -1-p, which flips the linear part
+by R(180) without changing a single sampled value — and the residual always
+lands in [-45, 45] deg where this decomposition is well-conditioned.
+
 Decomposition (Catmull–Smith two-pass) for an output->source affine
 ``sx = a x + b y + e``, ``sy = c x + d y + f`` (coords at pixel centers =
 integers, CImg convention):
@@ -106,15 +114,27 @@ def max_row_span(wh: int, ww: int, max_rot: float, max_scale: float) -> int:
     """Static bound on the source-row span of a (wh, ww) window (pass-1 row
     count), from a mode's motion envelope: |c| <= sin(max_rot)*max_scale,
     |d| <= max_scale. Asserts the decomposition stays well-conditioned."""
-    assert max_rot < math.pi / 4, "two-pass resampler needs |rot| < 45 deg"
-    span = math.sin(max_rot) * max_scale * ww + max_scale * wh + 4
+    assert max_rot <= math.pi / 4 + 1e-3, (
+        "two-pass resampler needs |residual rot| <= 45 deg (larger rotations "
+        "must be quadrant-factored first, see compose/fused._quadrant_factor)"
+    )
+    span = (
+        math.sin(min(max_rot, math.pi / 4)) * max_scale * ww
+        + max_scale * wh + 4
+    )
     return _round_up(int(math.ceil(span)) + 8, 8)
 
 
-def scan_tiles_pass1(A_max: float, B_max: float, P: int) -> int:
-    """Static lane-tile scan count for pass 1: u spans A*128 + |B|*P + 2 over
-    one (P, 128) x-tile block."""
-    return int(math.ceil((A_max * 128 + B_max * P + 3) / 128)) + 1
+PASS1_CHUNK = 128  # pass-1 row-chunk height: anchors the banded scan per
+                   # chunk so the |B|*rows shear term stays one tile wide
+
+
+def scan_tiles_pass1(A_max: float, B_max: float, rows: int) -> int:
+    """Static lane-tile scan count for pass 1: u spans A*128 + |B|*rows + 2
+    over one (rows, 128) x-tile block. Pass the pass-1 row-CHUNK height (the
+    kernel re-anchors its scan window per chunk of ``PASS1_CHUNK`` rows, so
+    ``rows=PASS1_CHUNK`` is tight; ``rows=P`` is valid but conservative)."""
+    return int(math.ceil((A_max * 128 + B_max * rows + 3) / 128)) + 1
 
 
 def scan_tiles_pass2(c_max: float, d_max: float, xchunk: int) -> int:
@@ -201,33 +221,42 @@ def resample_rows_in_kernel(
     w0f = w0.astype(jnp.float32)
 
     # ---- pass 1: t1[w, x] = row_lerp(slab[w0 + w], A x + B (w0+w) + C) ----
+    # Row-chunked: each (RC, 128) block re-anchors its banded scan, so the
+    # shear drift |B|*rows only spans one chunk (x_tiles_scan is sized for
+    # PASS1_CHUNK, not P).
     for xt in range(ww // 128):
-        xg = (
-            lax.broadcasted_iota(jnp.int32, (P, 128), 1).astype(jnp.float32)
-            + (x0 + xt * 128).astype(jnp.float32)
-        )
-        wg = (
-            lax.broadcasted_iota(jnp.int32, (P, 128), 0).astype(jnp.float32)
-            + w0f
-        )
-        u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
-        uf = jnp.floor(u)
-        fx = u - uf
-        u0i = uf.astype(jnp.int32)
-        u1i = jnp.minimum(u0i + 1, SWp - 1)
-        p0, p1 = _banded_tap_pair(
-            lambda base: rows_ref[:, pl.ds(base, 128)],
-            u0i, u1i, x_tiles_scan, jnp.zeros((P, 128), jnp.int32),
-            SWp // 128,
-        )
-        for ch, (v0, v1) in enumerate(zip(_unpack3(p0), _unpack3(p1))):
-            t1_ref[ch, :, xt * 128 : (xt + 1) * 128] = v0 + (v1 - v0) * fx
+        for r0 in range(0, P, PASS1_CHUNK):
+            rc = min(PASS1_CHUNK, P - r0)
+            xg = (
+                lax.broadcasted_iota(jnp.int32, (rc, 128), 1)
+                .astype(jnp.float32)
+                + (x0 + xt * 128).astype(jnp.float32)
+            )
+            wg = (
+                lax.broadcasted_iota(jnp.int32, (rc, 128), 0)
+                .astype(jnp.float32)
+                + (w0f + r0)
+            )
+            u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
+            uf = jnp.floor(u)
+            fx = u - uf
+            u0i = uf.astype(jnp.int32)
+            u1i = jnp.minimum(u0i + 1, SWp - 1)
+            p0, p1 = _banded_tap_pair(
+                lambda base: rows_ref[r0 : r0 + rc, pl.ds(base, 128)],
+                u0i, u1i, x_tiles_scan, jnp.zeros((rc, 128), jnp.int32),
+                SWp // 128,
+            )
+            for ch, (v0, v1) in enumerate(zip(_unpack3(p0), _unpack3(p1))):
+                t1_ref[ch, r0 : r0 + rc, xt * 128 : (xt + 1) * 128] = (
+                    v0 + (v1 - v0) * fx
+                )
 
     # ---- pass 2 on the transposed intermediate ----
     whp = _round_up(wh, 128)
     outs = []
     for ch in range(3):
-        t1t_ref[:, :P] = t1_ref[ch].T  # (ww, P)
+        t1t_ref[:, :P] = t1_ref[ch, :P].T  # (ww, P)
         for yt in range(whp // 128):
             for xc in range(ww // XCHUNK):
                 yg = (
@@ -413,28 +442,34 @@ def resample_rows_f32(
     w0f = w0.astype(jnp.float32)
 
     for xt in range(ww // 128):
-        xg = (
-            lax.broadcasted_iota(jnp.int32, (P, 128), 1).astype(jnp.float32)
-            + (x0 + xt * 128).astype(jnp.float32)
-        )
-        wg = (
-            lax.broadcasted_iota(jnp.int32, (P, 128), 0).astype(jnp.float32)
-            + w0f
-        )
-        u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
-        uf = jnp.floor(u)
-        fx = u - uf
-        u0i = uf.astype(jnp.int32)
-        u1i = jnp.minimum(u0i + 1, SWp - 1)
-        p0, p1 = _banded_tap_pair(
-            lambda base: rows_ref[:, pl.ds(base, 128)],
-            u0i, u1i, x_tiles_scan, jnp.zeros((P, 128), jnp.float32),
-            SWp // 128,
-        )
-        t1_ref[:, xt * 128 : (xt + 1) * 128] = p0 + (p1 - p0) * fx
+        for r0 in range(0, P, PASS1_CHUNK):
+            rc = min(PASS1_CHUNK, P - r0)
+            xg = (
+                lax.broadcasted_iota(jnp.int32, (rc, 128), 1)
+                .astype(jnp.float32)
+                + (x0 + xt * 128).astype(jnp.float32)
+            )
+            wg = (
+                lax.broadcasted_iota(jnp.int32, (rc, 128), 0)
+                .astype(jnp.float32)
+                + (w0f + r0)
+            )
+            u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
+            uf = jnp.floor(u)
+            fx = u - uf
+            u0i = uf.astype(jnp.int32)
+            u1i = jnp.minimum(u0i + 1, SWp - 1)
+            p0, p1 = _banded_tap_pair(
+                lambda base: rows_ref[r0 : r0 + rc, pl.ds(base, 128)],
+                u0i, u1i, x_tiles_scan, jnp.zeros((rc, 128), jnp.float32),
+                SWp // 128,
+            )
+            t1_ref[r0 : r0 + rc, xt * 128 : (xt + 1) * 128] = (
+                p0 + (p1 - p0) * fx
+            )
 
     whp = _round_up(wh, 128)
-    t1t_ref[:, :P] = t1_ref[:].T
+    t1t_ref[:, :P] = t1_ref[:P].T
     for yt in range(whp // 128):
         for xc in range(ww // XCHUNK):
             yg = (

@@ -53,7 +53,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_raster import _area_accumulate
+from .pallas_raster import _area_accumulate_blocked
 from . import pallas_resample as resamp
 from ..config import BACKGROUND_OBJ_ID as BG_ID, FOREGROUND_ID_BASE as FG_ID_BASE
 
@@ -72,6 +72,19 @@ SLAB_MARGIN = 256
 WARP_D = 48
 WARP_EY = 56    # row expansion per side (multiple of 8, >= WARP_D + 2)
 WARP_EX = 64    # lane expansion per side (no alignment constraint: scratch)
+# Background-field margins: the bg crop is applied x2 in size AND magnitude
+# (cpp:1194-1202), so its displacement bound is 2*WARP_D.
+BG_EY = 96      # multiple of 8, >= 2*WARP_D
+BG_EX = 128     # multiple of 128 (extended-grid lane alignment)
+
+# bgm layout (per sample, f32): raw background affines + periods + motion.
+BGM_T0 = 0      # frame-0 output->source affine (2x3 row-major)
+BGM_T1 = 6      # frame-1 (inverse big motion composed)
+BGM_SRCW = 12   # source reflect periods (native dims on the TextureDB path)
+BGM_SRCH = 13
+BGM_PIX = 16    # bg pixel motion (conjugated about the frame center)
+BGM_FAFF = 24   # forward-field sampling affine: u = (pixmot(p)+c+.5)/2-.5
+BGM_SIZE = 32
 
 # objmeta_i layout (per object, per frame)
 OMI_ON = 0          # window pass needed for this frame
@@ -113,42 +126,52 @@ def slab_shape(height: int, width: int):
     )
 
 
-def prepare_slabs(atlas, height: int, width: int):
+def _slab_of(img, hs: int, ws: int):
+    s = resamp.reflect_pad(resamp.pack_rgb_i32(img), SLAB_MARGIN, SLAB_MARGIN)
+    return jnp.pad(
+        s, ((0, hs - s.shape[0]), (0, ws - s.shape[1])), mode="edge"
+    )
+
+
+def _stack_quadrant(tex, height: int, width: int):
+    """Packed slabs of ``tex`` (T, height, width, 3) plus their rot90(k=1)
+    copies, padded to a common shape and stacked along T: slots [T:2T] hold
+    the 90-deg-rotated sources (compose/fused.py offsets frame-1 texture ids
+    when the quadrant factor is odd). The 180-deg quadrant needs no copy —
+    the reflect extension is point-reflection invariant."""
+    h0, w0 = slab_shape(height, width)
+    h1, w1 = slab_shape(width, height)
+    hs, ws = max(h0, h1), max(w0, w1)
+    base = jax.vmap(lambda im: _slab_of(im, hs, ws))(tex)
+    rot = jax.vmap(lambda im: _slab_of(jnp.rot90(im, 1, (0, 1)), hs, ws))(tex)
+    return jnp.concatenate([base, rot], axis=0)
+
+
+def prepare_slabs(atlas, height: int, width: int, quadrant: bool = False):
     """(T, SH, SW, 3) texture atlas -> (T, SHs, SWs) int32 packed slabs of the
     frame-sized center crops with SLAB_MARGIN reflected texels per side.
     The crop is the object texture (Texture::getRandomizedCrop with default
-    args = centered crop, cpp:87-109 via cpp:1149-1150)."""
+    args = centered crop, cpp:87-109 via cpp:1149-1150). ``quadrant`` adds
+    rot90 copies at slots [T:2T] (see :func:`_stack_quadrant`)."""
     sh, sw = atlas.shape[1], atlas.shape[2]
     y0 = (sh - height) // 2
     x0 = (sw - width) // 2
     crops = atlas[:, y0 : y0 + height, x0 : x0 + width]
-
-    def slab(img):
-        s = resamp.reflect_pad(resamp.pack_rgb_i32(img), SLAB_MARGIN, SLAB_MARGIN)
-        hs, ws = slab_shape(height, width)
-        return jnp.pad(
-            s, ((0, hs - s.shape[0]), (0, ws - s.shape[1])), mode="edge"
-        )
-
-    return jax.vmap(slab)(crops)
+    if quadrant:
+        return _stack_quadrant(crops, height, width)
+    hs, ws = slab_shape(height, width)
+    return jax.vmap(lambda im: _slab_of(im, hs, ws))(crops)
 
 
-def prepare_obj_slabs(obj_tex):
+def prepare_obj_slabs(obj_tex, quadrant: bool = False):
     """(T, H, W, 3) pre-materialized object textures (TextureDB.obj_tex, the
     reference-exact getRandomizedCrop-with-defaults output per source) ->
     packed reflect-padded slabs, same layout as :func:`prepare_slabs`."""
     height, width = obj_tex.shape[1], obj_tex.shape[2]
-
-    def slab(img):
-        s = resamp.reflect_pad(
-            resamp.pack_rgb_i32(img), SLAB_MARGIN, SLAB_MARGIN
-        )
-        hs, ws = slab_shape(height, width)
-        return jnp.pad(
-            s, ((0, hs - s.shape[0]), (0, ws - s.shape[1])), mode="edge"
-        )
-
-    return jax.vmap(slab)(obj_tex)
+    if quadrant:
+        return _stack_quadrant(obj_tex, height, width)
+    hs, ws = slab_shape(height, width)
+    return jax.vmap(lambda im: _slab_of(im, hs, ws))(obj_tex)
 
 
 def prepare_bg_slabs_db(sources, sizes):
@@ -229,19 +252,27 @@ def mode_envelope(spec, height: int, width: int):
     return rot, 1.0 / s_lo
 
 
+def quadrant_needed(spec) -> bool:
+    """Static: does the mode's total-rotation envelope exceed the two-pass
+    resampler's 45-deg conditioning bound (modes 11/13)? If so the fused path
+    factors every frame-1 object affine as quadrant * residual: the 90-deg
+    parts route through rot90 slab copies (+ the free reflect-extension point
+    reflection for 180), leaving residuals within +-45 deg."""
+    rot, _ = mode_envelope(spec, 0, 0)
+    return rot >= math.pi / 4 - 1e-3
+
+
 def fused_eligible(spec, height: int, width: int,
                    inverse_flow: bool = False) -> bool:
     """Static check: can this mode run through the scene kernel?
-    Needs the two-pass resampler's rotation bound (< 45 deg total) and
-    alignment-friendly frame dims. Nonrigid modes are eligible (object
-    deformation runs in-kernel; the background goes through the XLA warp
-    path) except when inverse flow is requested (the inverse-field mask
-    chain stays on the windowed path)."""
-    rot, _ = mode_envelope(spec, height, width)
+    Any rotation envelope is eligible (quadrant factoring, see
+    :func:`quadrant_needed`) and so is every mode/output combination
+    including nonrigid + inverse flow (the displaced-mask chain and the
+    inverse-affine overwrite run in-kernel); only alignment-unfriendly frame
+    dims fall back to the windowed path."""
+    del spec, inverse_flow
     return (
-        rot < math.pi / 4 - 1e-3
-        and not (spec.warp_p > 0.0 and inverse_flow)
-        and height % 8 == 0
+        height % 8 == 0
         and width % 128 == 0
         and height >= 8
         and width >= 128
@@ -249,21 +280,30 @@ def fused_eligible(spec, height: int, width: int,
 
 
 def resample_params(spec, height: int, width: int):
-    """Static (P, x_tiles_scan, y_tiles_scan) covering both the object motion
-    envelope and the background texture chain (both resample in-kernel)."""
+    """Static (P_obj, P_bg, x_tiles_scan, y_tiles_scan): separate pass-1 row
+    spans for the object motion envelope and the (usually much tighter)
+    background texture chain — the background's row DMA and pass-1 compute
+    shrink accordingly. Scan counts are shared (max of both envelopes, sized
+    for the pass-1 row chunk, not the full span)."""
     wh, ww = min(WIN_H, height), min(WIN_W, width)
     rot_o, inv_o = mode_envelope(spec, height, width)
+    # Quadrant factoring caps the residual rotation at 45 deg (see
+    # quadrant_needed); the scan/span envelopes only ever see the residual.
+    rot_o = min(rot_o, math.pi / 4)
     rot_b, inv_b = bg_envelope(spec)
+    P = resamp.max_row_span(wh, ww, rot_o + 1e-6, inv_o)
+    PBG = resamp.max_row_span(wh, ww, rot_b + 1e-6, inv_b)
     rot = max(rot_o, rot_b)
     inv_s = max(inv_o, inv_b)
-    P = resamp.max_row_span(wh, ww, rot + 1e-6, inv_s)
     a_max = inv_s / math.cos(rot)
     b_max = math.tan(rot)
     c_max = math.sin(rot) * inv_s
     d_max = inv_s
-    xs = resamp.scan_tiles_pass1(a_max, b_max, P)
+    xs = resamp.scan_tiles_pass1(
+        a_max, b_max, min(resamp.PASS1_CHUNK, max(P, PBG))
+    )
     ys = resamp.scan_tiles_pass2(c_max, d_max, min(128, ww))
-    return P, xs, ys
+    return P, PBG, xs, ys
 
 
 def _unpack3f(v):
@@ -283,7 +323,7 @@ def _pack3f(r, g, b):
 
 
 def _make_scene_kernel(
-    H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
+    H, W, K, C, E, EP, P, PBG, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
     inverse_flow, has_warp=False, emit_masks=False, debug_level=3,
 ):
     wh, ww = min(WIN_H, H), min(WIN_W, W)
@@ -299,17 +339,26 @@ def _make_scene_kernel(
         for ty in range(-(-H // wh))
         for tx in range(-(-W // ww))
     ]
-    NBT = len(bg_tiles)
     # Warp-object texture sub-tile origins covering the expanded grid.
     LYS = [0] if whE == wh else [0, whE - wh]
     LXS = [0] if wwE == ww else [0, wwE - ww]
+    # Background-warp extended grid (frame + BG_E margins) and its tiling.
+    HB = H + 2 * BG_EY
+    WB = W + 2 * BG_EX
+    whB = min(wh + 2 * BG_EY, HB)
+    bg_ext_tiles = [
+        (min(-BG_EY + ty * wh, H + BG_EY - wh),
+         min(-BG_EX + tx * ww, W + BG_EX - ww))
+        for ty in range(-(-HB // wh))
+        for tx in range(-(-WB // ww))
+    ]
 
     def kernel(*refs):
         (smeta_hbm, omi_hbm, omf_hbm, tmi_hbm, tmf_hbm, bgm_hbm, edges_hbm,
          slabs_hbm, bgslabs_hbm, flow_hbm) = refs[:10]
         i = 10
         if has_warp:
-            aux_hbm = refs[i]; bgf_hbm = refs[i + 1]; i += 2
+            aux_hbm = refs[i]; bgaux_hbm = refs[i + 1]; i += 2
         frames_out, flow_out = refs[i], refs[i + 1]; i += 2
         if emit_masks:
             ids_out = refs[i]; i += 1
@@ -318,8 +367,9 @@ def _make_scene_kernel(
         i += 17
         if has_warp:
             (covE_aa, covE_in, covE_area, texE, igbuf, ivbuf,
-             dtmp, dtmpT, frows, ft1) = refs[i:i + 10]
-            i += 10
+             dtmp, dtmpT, frows, ft1,
+             bgwork, bggbuf, bgtmp, bgtmpT) = refs[i:i + 14]
+            i += 14
         if emit_masks:
             idacc = refs[i]; i += 1
         sems = refs[i]
@@ -336,11 +386,6 @@ def _make_scene_kernel(
             pltpu.make_async_copy(tmf_hbm.at[b], tmf, sems.at[7]),
             pltpu.make_async_copy(bgm_hbm.at[b], bgm, sems.at[0]),
         ]
-        if has_warp:
-            loads += [
-                pltpu.make_async_copy(bgf_hbm.at[b, 0], acc0, sems.at[1]),
-                pltpu.make_async_copy(bgf_hbm.at[b, 1], acc1, sems.at[2]),
-            ]
         for cp in loads:
             cp.start()
         for cp in loads:
@@ -363,34 +408,9 @@ def _make_scene_kernel(
         def TMF(k, frame, t, field):
             return tmf[0, ((k * 2 + frame) * MAX_TILES + t) * TMF_SIZE + field]
 
-        if not has_warp:
-            # ---- background: resample both frames straight into the
-            # accumulators (MovingObjectBackground, cpp:654-688). Full-frame
-            # cover, plain overwrite. With warps the background runs through
-            # the XLA warp path and arrives pre-packed via bgf. ----
-            btid = smeta[0, 1 + K]
-            for frame, acc_frame in ((0, acc0), (1, acc1)):
-                for t, (y0s, x0s) in enumerate(bg_tiles):
-                    coeffs = tuple(
-                        bgm[0, (frame * NBT + t) * 8 + j] for j in range(6)
-                    )
-                    w0 = resamp.pass1_row_start(
-                        coeffs, jnp.int32(x0s), jnp.int32(y0s), wh, ww, P, SHb
-                    )
-                    bdma = pltpu.make_async_copy(
-                        bgslabs_hbm.at[btid, pl.ds(w0, P), :],
-                        rows.at[:, :SWb],
-                        sems.at[1],
-                    )
-                    bdma.start()
-                    bdma.wait()
-                    tr, tg, tb = resamp.resample_rows_in_kernel(
-                        rows, w0, coeffs, jnp.int32(x0s), jnp.int32(y0s),
-                        wh, ww, P, t1, t1t, outt, xscan, yscan, sw=SWb,
-                    )
-                    acc_frame[y0s : y0s + wh, x0s : x0s + ww] = _pack3f(
-                        jnp.round(tr), jnp.round(tg), jnp.round(tb)
-                    )
+        # (Background rendering runs below, after the shared helpers — all
+        # paths, including mode 9, render and displace the background
+        # in-kernel; see render_background().)
 
         def coverage_into(k, frame, oy, ox, aa_ref, in_ref, area_ref, gh, gw):
             """Composite coverage over a (gh, gw) grid with frame-coord
@@ -414,9 +434,9 @@ def _make_scene_kernel(
 
                 @pl.when(is_poly)
                 def _():
-                    _area_accumulate(
+                    _area_accumulate_blocked(
                         edges_smem, c * E, OMI(k, frame, OMI_NEDGES + c),
-                        cxg, cyg, area_ref,
+                        oy, ox, area_ref, gh, gw,
                     )
                     area = jnp.abs(area_ref[:])
                     area_ref[:] = jnp.minimum(area, 1.0) + jnp.where(
@@ -495,13 +515,17 @@ def _make_scene_kernel(
         def motion_scalars(k, frame):
             return tuple(OMF(k, frame, OMF_MOTION + j) for j in range(6))
 
-        def scalar_fold_coeffs(mm, cx_c, cy_c):
+        def scalar_fold_coeffs(mm, cx_c, cy_c, nx=None, ny=None):
             """In-kernel reflect fold + two-pass split of a raw crop-space
             affine at footprint center (cx_c, cy_c) — the scalar twin of
             compose/fused._fold_coeffs, used where the fold must be chosen
-            per sub-tile (warp-object expanded textures)."""
+            per sub-tile (warp-object expanded textures, background tiles).
+            ``nx``/``ny``: the source's reflect periods (defaults: the
+            frame-sized object crop)."""
             m00, m01, m02, m10, m11, m12 = mm
             margin = float(SLAB_MARGIN)
+            nx = float(W) if nx is None else nx
+            ny = float(H) if ny is None else ny
 
             def fold(s_c, n):
                 r = s_c - (2.0 * n) * jnp.floor(s_c / (2.0 * n))
@@ -513,8 +537,8 @@ def _make_scene_kernel(
 
             sx_c = m00 * cx_c + m01 * cy_c + m02
             sy_c = m10 * cx_c + m11 * cy_c + m12
-            sigx, betax = fold(sx_c, float(W))
-            sigy, betay = fold(sy_c, float(H))
+            sigx, betax = fold(sx_c, nx)
+            sigy, betay = fold(sy_c, ny)
             a = m00 * sigx
             bb = m01 * sigx
             e = m02 * sigx + betax
@@ -524,18 +548,15 @@ def _make_scene_kernel(
             B_ = bb / d
             return (a - B_ * c, B_, e - B_ * f, c, d, f)
 
-        def sample_wf_at_moved(k, frame, slot, ch, y0, x0):
-            """Forward warp field channel sampled at the motion-moved window
-            positions (getPointFlow cpp:398-406) via a two-pass f32 resample
-            of the aux plane."""
-            mm = motion_scalars(k, frame)
+        def _two_pass_split(mm):
             m00, m01, m02, m10, m11, m12 = mm
             B_ = m01 / m11
-            coeffs = (
-                m00 - B_ * m10, B_, m02 - B_ * m12, m10, m11, m12
-            )
-            # The field planes are only H rows tall; stage min(P, H) rows
-            # (for production frames that is the whole plane).
+            return (m00 - B_ * m10, B_, m02 - B_ * m12, m10, m11, m12)
+
+        def sample_plane_affine(slot, ch, coeffs, y0, x0):
+            """One (wh, ww) window of warp-aux plane ``ch`` sampled through an
+            output->plane affine (two-pass split coeffs) — zero hardware
+            gathers. The planes are (H, W); stage min(P, H) rows."""
             PF = min(P, H)
             w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, PF, H)
             fdma = pltpu.make_async_copy(
@@ -549,6 +570,13 @@ def _make_scene_kernel(
                 frows.at[:PF], w0, coeffs, x0, y0, wh, ww, PF,
                 ft1.at[:PF], t1t, outt, xscan, yscan, sw=W,
             )
+
+        def sample_wf_at_moved(k, frame, slot, ch, y0, x0):
+            """Forward warp field channel sampled at the motion-moved window
+            positions (getPointFlow cpp:398-406) via a two-pass f32 resample
+            of the aux plane."""
+            coeffs = _two_pass_split(motion_scalars(k, frame))
+            return sample_plane_affine(slot, ch, coeffs, y0, x0)
 
         def do_tile(k, frame, t, acc_frame):
             if debug_level < 2:
@@ -576,7 +604,7 @@ def _make_scene_kernel(
                     w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, P, SHs)
                     tex_dma = pltpu.make_async_copy(
                         slabs_hbm.at[tid, pl.ds(w0, P), :],
-                        rows.at[:, :SWs],
+                        rows.at[:P, :SWs],
                         sems.at[1],
                     )
                     tex_dma.start()
@@ -698,7 +726,7 @@ def _make_scene_kernel(
                         )
                         tdma = pltpu.make_async_copy(
                             slabs_hbm.at[tid, pl.ds(w0, P), :],
-                            rows.at[:, :SWs],
+                            rows.at[:P, :SWs],
                             sems.at[1],
                         )
                         tdma.start()
@@ -732,6 +760,169 @@ def _make_scene_kernel(
                 blend_window(acc_frame, y0, x0, m, trW, tgW, tbW)
                 if emit_masks:
                     write_ids(k, frame, inW * own, y0, x0)
+                if inverse_flow:
+                    # Inverse flow of a deforming object: the inverse AFFINE
+                    # displacement masked by the warped binary mask (the
+                    # windowed path's semantics; the reference never computes
+                    # inverse flow, cpp:1226).
+                    px = (
+                        lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + x0
+                    ).astype(jnp.float32)
+                    py = (
+                        lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + y0
+                    ).astype(jnp.float32)
+                    m00, m01, m02, m10, m11, m12 = motion_scalars(k, frame)
+                    ofx = m00 * px + m01 * py + m02 - px
+                    ofy = m10 * px + m11 * py + m12 - py
+                    mi = inW * own
+                    wx = accf[2, pl.ds(y0, wh), pl.ds(x0, ww)]
+                    wy = accf[3, pl.ds(y0, wh), pl.ds(x0, ww)]
+                    accf[2, pl.ds(y0, wh), pl.ds(x0, ww)] = (
+                        ofx * mi + wx * (1.0 - mi)
+                    )
+                    accf[3, pl.ds(y0, wh), pl.ds(x0, ww)] = (
+                        ofy * mi + wy * (1.0 - mi)
+                    )
+
+        def resample_bg_window(frame, oy, ox):
+            """(wh, ww) window of the plain (affine) background at frame-coord
+            origin (oy, ox) — randomized crop chain (+ inverse big motion for
+            frame 1), reflect fold chosen in-kernel at the window center
+            (MovingObjectBackground, cpp:654-688)."""
+            base = BGM_T0 if frame == 0 else BGM_T1
+            aff = tuple(bgm[0, base + j] for j in range(6))
+            coeffs = scalar_fold_coeffs(
+                aff, ox + ww / 2.0, oy + wh / 2.0,
+                bgm[0, BGM_SRCW], bgm[0, BGM_SRCH],
+            )
+            btid = smeta[0, 1 + K]
+            w0 = resamp.pass1_row_start(
+                coeffs, jnp.int32(ox), jnp.int32(oy), wh, ww, PBG, SHb
+            )
+            bdma = pltpu.make_async_copy(
+                bgslabs_hbm.at[btid, pl.ds(w0, PBG), :],
+                rows.at[:PBG, :SWb],
+                sems.at[1],
+            )
+            bdma.start()
+            bdma.wait()
+            return resamp.resample_rows_in_kernel(
+                rows, w0, coeffs, jnp.int32(ox), jnp.int32(oy),
+                wh, ww, PBG, t1, t1t, outt, xscan, yscan, sw=SWb,
+            )
+
+        def plain_bg_tiles(frame, acc_frame):
+            for (y0s, x0s) in bg_tiles:
+                tr, tg, tb = resample_bg_window(frame, y0s, x0s)
+                acc_frame[y0s : y0s + wh, x0s : x0s + ww] = _pack3f(
+                    jnp.round(tr), jnp.round(tg), jnp.round(tb)
+                )
+
+        def render_background():
+            """Both background frames into the accumulators. Nonrigid samples
+            (mode 9, ~bg_warp_p of them) deform frame 1 in-kernel: the plain
+            frame-1 background is evaluated on an extended grid and displaced
+            through the x2-upscaled inverse field (cpp:1194-1202 — crop
+            resized x2 in size and magnitude; the displace-then-affine source
+            chain commutes to displacing the affine-resampled frame, with the
+            displacement read at big coords = frame + center). The forward
+            field's flow contribution is added over the whole frame before
+            any object overwrites it (getPointFlow cpp:714-717)."""
+            plain_bg_tiles(0, acc0)
+            if not has_warp:
+                plain_bg_tiles(1, acc1)
+                return
+            bgw = smeta[0, 2 + K] != 0
+            slot = smeta[0, 3 + K]
+
+            @pl.when(jnp.logical_not(bgw))
+            def _():
+                plain_bg_tiles(1, acc1)
+
+            @pl.when(bgw)
+            def _():
+                # Plain frame 1 on the extended grid (margins >= the x2
+                # field's displacement bound).
+                for (eys, exs) in bg_ext_tiles:
+                    tr, tg, tb = resample_bg_window(1, eys, exs)
+                    for ch, v in enumerate((tr, tg, tb)):
+                        bgwork[
+                            ch,
+                            eys + BG_EY : eys + BG_EY + wh,
+                            exs + BG_EX : exs + BG_EX + ww,
+                        ] = v
+                # Displace per output tile via the precomputed
+                # column-inverse-corrected bg planes (bgaux).
+                for (y0s, x0s) in bg_tiles:
+                    band0 = y0s  # bgwork row y0s == frame row y0s - BG_EY
+                    gdma = pltpu.make_async_copy(
+                        bgaux_hbm.at[slot, 0, pl.ds(band0, whB),
+                                     pl.ds(x0s, ww)],
+                        bggbuf, sems.at[3],
+                    )
+                    gdma.start()
+                    vdma = pltpu.make_async_copy(
+                        bgaux_hbm.at[slot, 1, pl.ds(y0s + BG_EY, wh),
+                                     pl.ds(x0s, ww)],
+                        ivbuf, sems.at[4],
+                    )
+                    vdma.start()
+                    gdma.wait()
+                    vdma.wait()
+                    gd = bggbuf[:]
+                    vd = ivbuf[:]
+
+                    def dispbg(ch):
+                        return resamp.displace_warp_in_kernel(
+                            bgwork.at[ch, pl.ds(band0, whB)], gd, vd,
+                            jnp.int32(x0s), jnp.int32(y0s),
+                            jnp.int32(-BG_EX), jnp.int32(y0s - BG_EY),
+                            wh, ww, whB, WB, bgtmp, bgtmpT, outt,
+                            x_scan=4, y_scan=4,
+                        )
+
+                    acc1[y0s : y0s + wh, x0s : x0s + ww] = _pack3f(
+                        jnp.round(dispbg(0)), jnp.round(dispbg(1)),
+                        jnp.round(dispbg(2)),
+                    )
+                # Forward-field flow contribution at the moved positions
+                # (sampled from the native crop through the half-scale
+                # composed affine, x2 magnitude), gated on landing inside
+                # the 2Wx2H big texture.
+                faff = _two_pass_split(
+                    tuple(bgm[0, BGM_FAFF + j] for j in range(6))
+                )
+                mp = tuple(bgm[0, BGM_PIX + j] for j in range(6))
+                for (y0s, x0s) in bg_tiles:
+                    px = (
+                        lax.broadcasted_iota(jnp.int32, (wh, ww), 1) + x0s
+                    ).astype(jnp.float32)
+                    py = (
+                        lax.broadcasted_iota(jnp.int32, (wh, ww), 0) + y0s
+                    ).astype(jnp.float32)
+                    mvx = mp[0] * px + mp[1] * py + mp[2] + (W / 2.0)
+                    mvy = mp[3] * px + mp[4] * py + mp[5] + (H / 2.0)
+                    inb = (
+                        (mvx >= 0) & (mvx < 2.0 * W)
+                        & (mvy >= 0) & (mvy < 2.0 * H)
+                    ).astype(jnp.float32)
+                    wfx = sample_plane_affine(
+                        slot, 2, faff, jnp.int32(y0s), jnp.int32(x0s)
+                    )
+                    accf[0, y0s : y0s + wh, x0s : x0s + ww] = (
+                        accf[0, y0s : y0s + wh, x0s : x0s + ww]
+                        + 2.0 * wfx * inb
+                    )
+                    wfy = sample_plane_affine(
+                        slot, 3, faff, jnp.int32(y0s), jnp.int32(x0s)
+                    )
+                    accf[1, y0s : y0s + wh, x0s : x0s + ww] = (
+                        accf[1, y0s : y0s + wh, x0s : x0s + ww]
+                        + 2.0 * wfy * inb
+                    )
+
+        if debug_level >= 0:
+            render_background()
 
         def obj(i, _):
             k = smeta[0, 1 + i]
@@ -786,8 +977,8 @@ def _pad128(n: int) -> int:
                      "interpret", "debug_level"),
 )
 def scene_render_pallas(
-    count, order, bg_tex, omi, omf, tmi, tmf, bgc, edges, slabs, bgslabs,
-    flow_init, warp_aux=None, bgf=None,
+    count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges, slabs, bgslabs,
+    flow_init, warp_aux=None, bgaux=None,
     *, spec_key, use_aa=True, inverse_flow=False, emit_masks=False,
     interpret=False, debug_level=3,
 ):
@@ -796,25 +987,28 @@ def scene_render_pallas(
     Inputs (built by compose/fused.py): ``count`` (B,), ``order`` (B,K),
     ``omi`` (B,K,2,OMI_SIZE) i32, ``omf`` (B,K,2,OMF_SIZE) f32,
     ``tmi`` (B,K,2,MAX_TILES,TMI_SIZE) i32, ``tmf`` same in f32,
-    ``bg_tex`` (B,) i32 background texture ids, ``bgc`` (B,2,NBT,6) f32
-    background tile resample coeffs (NBT = the static full-frame tile count,
-    ceil(H/wh)*ceil(W/ww)), ``edges`` (B,K,2,4,EP) f32, ``slabs``
-    (T,SHs,SWs) i32 packed object-crop slabs, ``bgslabs`` (T,SHb,SWb) i32
-    packed full-source slabs, ``flow_init`` (B,2 or 4,H,W) f32 (forward
-    [+ inverse] background flow). Frames are rendered entirely in-kernel.
+    ``bg_meta`` (B, 3) i32 [bg texture id, bg warp flag, bg warp slot],
+    ``bgm`` (B, BGM_SIZE) f32 raw background affines/periods/motion (layout
+    constants above; reflect folds are chosen in-kernel per tile), ``edges``
+    (B,K,2,4,EP) f32, ``slabs`` (T,SHs,SWs) i32 packed object-crop slabs,
+    ``bgslabs`` (T,SHb,SWb) i32 packed full-source slabs, ``flow_init``
+    (B,2 or 4,H,W) f32 (forward [+ inverse] affine background flow; the
+    warp-field term is added in-kernel). Frames render entirely in-kernel.
+    Mode 9 passes ``warp_aux`` (N,4,H,W) and ``bgaux`` (N,2,H+2*BG_EY,W)
+    (warpfields.generator.make_warp_aux).
 
     All small metadata is flattened to (B, mult-of-128) rows here and DMA'd
     into unpadded SMEM scratch per sample (SMEM BlockSpec windows tile-pad
     their last two dims to (8, 128), which inflates these tables ~50x past
     the 1 MB SMEM budget).
 
-    ``spec_key``: hashable (P, xscan, yscan, H, W) static tuple from
+    ``spec_key``: hashable (P, PBG, xscan, yscan, H, W) static tuple from
     ``resample_params`` + frame dims. Returns (frames (B,2,H,W) i32,
     flow (B,2 or 4,H,W) f32).
     """
     from ..config import MAX_COMPONENTS, MAX_EDGES
 
-    P, xscan, yscan, H, W = spec_key
+    P, PBG, xscan, yscan, H, W = spec_key
     B, K = order.shape
     EP = edges.shape[-1]
     C = MAX_COMPONENTS
@@ -822,7 +1016,8 @@ def scene_render_pallas(
     SHs, SWs = slabs.shape[1], slabs.shape[2]
     SHb, SWb = bgslabs.shape[1], bgslabs.shape[2]
     wh, ww = min(WIN_H, H), min(WIN_W, W)
-    Pp = _round_up(P, 128)
+    Pmax = max(P, PBG)
+    Pp = _round_up(Pmax, 128)
     nflow = flow_init.shape[1]
     NBT = (-(-H // wh)) * (-(-W // ww))
     has_warp = warp_aux is not None
@@ -832,7 +1027,7 @@ def scene_render_pallas(
     Wp = _round_up(W, 128)
 
     kernel = _make_scene_kernel(
-        H, W, K, C, E, EP, P, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
+        H, W, K, C, E, EP, P, PBG, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
         inverse_flow, has_warp, emit_masks, debug_level,
     )
 
@@ -844,13 +1039,13 @@ def scene_render_pallas(
         # sliced singly).
         return jnp.pad(x, ((0, 0), (0, 0), (0, width - x.shape[2])))
 
-    SM_LEN = _pad128(2 + K)
+    SM_LEN = _pad128(4 + K)
     smeta = flat(
         jnp.concatenate(
             [
                 count.reshape(B, 1),
                 order.astype(jnp.int32),
-                bg_tex.reshape(B, 1).astype(jnp.int32),
+                bg_meta.reshape(B, -1).astype(jnp.int32),
             ],
             1,
         ),
@@ -863,16 +1058,12 @@ def scene_render_pallas(
     omf_f = flat(omf.astype(jnp.float32), omf_w)
     tmi_f = flat(tmi.astype(jnp.int32), tm_w)
     tmf_f = flat(tmf.astype(jnp.float32), tm_w)
-    bg_w = _pad128(2 * NBT * 8)
-    bgc_f = flat(
-        jnp.pad(bgc.astype(jnp.float32), ((0, 0), (0, 0), (0, 0), (0, 2))),
-        bg_w,
-    )
+    bg_w = _pad128(BGM_SIZE)
+    bgm_f = flat(bgm.astype(jnp.float32), bg_w)
 
     any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    # The standard rows buffer doubles as the bg-slab stage in rigid kernels;
-    # warp kernels stage only object slabs there (bg arrives via bgf).
-    rows_w = max(SWs, SWb) if not has_warp else SWs
+    # The rows buffer stages both object and background slab rows.
+    rows_w = max(SWs, SWb)
     scratch = [
         pltpu.VMEM((H, W), jnp.int32),
         pltpu.VMEM((H, W), jnp.int32),
@@ -884,8 +1075,8 @@ def scene_render_pallas(
         pltpu.SMEM((1, tm_w), jnp.float32),
         pltpu.SMEM((1, bg_w), jnp.float32),
         pltpu.SMEM((4, EP), jnp.float32),
-        pltpu.VMEM((P, rows_w), jnp.int32),
-        pltpu.VMEM((3, P, ww), jnp.float32),
+        pltpu.VMEM((Pmax, rows_w), jnp.int32),
+        pltpu.VMEM((3, Pmax, ww), jnp.float32),
         pltpu.VMEM((ww, Pp), jnp.float32),
         pltpu.VMEM((ww, _round_up(wh, 128)), jnp.float32),
         pltpu.VMEM((wh, ww), jnp.float32),
@@ -893,6 +1084,9 @@ def scene_render_pallas(
         pltpu.VMEM((wh, ww), jnp.float32),
     ]
     if has_warp:
+        HB = H + 2 * BG_EY
+        WB = W + 2 * BG_EX
+        whB = min(wh + 2 * BG_EY, HB)
         scratch += [
             pltpu.VMEM((whE, wwE), jnp.float32),     # covE_aa
             pltpu.VMEM((whE, wwE), jnp.float32),     # covE_in
@@ -904,6 +1098,10 @@ def scene_render_pallas(
             pltpu.VMEM((ww, whEp), jnp.float32),     # dtmpT
             pltpu.VMEM((P, Wp), jnp.float32),        # frows
             pltpu.VMEM((P, ww), jnp.float32),        # ft1
+            pltpu.VMEM((3, HB, WB), jnp.float32),    # bgwork (extended bg)
+            pltpu.VMEM((whB, ww), jnp.float32),      # bggbuf
+            pltpu.VMEM((whB, ww), jnp.float32),      # bgtmp
+            pltpu.VMEM((ww, _round_up(whB, 128)), jnp.float32),  # bgtmpT
         ]
     if emit_masks:
         scratch.append(pltpu.VMEM((2, H, W), jnp.int32))
@@ -918,10 +1116,10 @@ def scene_render_pallas(
         out_specs=(any_spec,) * n_out,
         scratch_shapes=scratch,
     )
-    inputs = [smeta, omi_f, omf_f, tmi_f, tmf_f, bgc_f, edges, slabs,
+    inputs = [smeta, omi_f, omf_f, tmi_f, tmf_f, bgm_f, edges, slabs,
               bgslabs, flow_init]
     if has_warp:
-        inputs += [warp_aux, bgf]
+        inputs += [warp_aux, bgaux]
     out_shape = [
         jax.ShapeDtypeStruct((B, 2, H, W), jnp.int32),
         jax.ShapeDtypeStruct((B, nflow, H, W), jnp.float32),

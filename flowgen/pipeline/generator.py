@@ -64,9 +64,10 @@ def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig,
 
 def use_fused_path(cfg: DataGenConfig) -> bool:
     """Whether this config renders through the scene megakernel
-    (compose/fused.py): Pallas enabled, windowed, and the mode statically
-    eligible (no warps, rotation envelope within the two-pass resampler's
-    bound — see ops/pallas_scene.fused_eligible)."""
+    (compose/fused.py): Pallas enabled, windowed, and frame dims (8, 128)-
+    aligned. All 13 modes and output combinations are megakernel-eligible
+    (large rotations via quadrant-factored slabs, nonrigid deformation and
+    inverse flow in-kernel — see ops/pallas_scene.fused_eligible)."""
     from ..compose.render import _pallas_enabled
     from ..ops.pallas_scene import fused_eligible
 
@@ -116,20 +117,26 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
     scenes = sample_scene_batch(root, indices, cfg, n_warp_slots=n_slots)
     if use_fused_path(cfg):
         from ..compose.fused import render_batch_fused
-        from ..ops.pallas_scene import prepare_bg_slabs, prepare_slabs
-
-        from ..ops.pallas_scene import prepare_bg_slabs_db, prepare_obj_slabs
+        from ..ops.pallas_scene import (
+            prepare_bg_slabs,
+            prepare_bg_slabs_db,
+            prepare_obj_slabs,
+            prepare_slabs,
+            quadrant_needed,
+        )
 
         if slabs is None:
+            quad = quadrant_needed(cfg.mode_spec)
             if db is not None:
                 slabs = (
-                    prepare_obj_slabs(jnp.asarray(db.obj_tex)),
+                    prepare_obj_slabs(jnp.asarray(db.obj_tex), quadrant=quad),
                     prepare_bg_slabs_db(db.sources, db.sizes),
                 )
             else:
                 # Quad channels 0:3 are the raw image (texture.make_quad).
                 slabs = (
-                    prepare_slabs(atlas[..., :3], cfg.height, cfg.width),
+                    prepare_slabs(atlas[..., :3], cfg.height, cfg.width,
+                                  quadrant=quad),
                     prepare_bg_slabs(atlas[..., :3]),
                 )
         slabs = jax.lax.optimization_barrier(slabs)
@@ -195,21 +202,26 @@ def make_slab_packer(cfg: DataGenConfig):
     config doesn't use the fused path; generate_batch then ignores it)."""
     if not use_fused_path(cfg):
         return lambda atlas: None
-    from ..ops.pallas_scene import prepare_slabs
+    from ..ops.pallas_scene import (
+        prepare_bg_slabs,
+        prepare_bg_slabs_db,
+        prepare_obj_slabs,
+        prepare_slabs,
+        quadrant_needed,
+    )
 
-    from ..ops.pallas_scene import prepare_bg_slabs
-
+    quad = quadrant_needed(cfg.mode_spec)
     pack = jax.jit(
         lambda a: (
-            prepare_slabs(a, height=cfg.height, width=cfg.width),
+            prepare_slabs(a, height=cfg.height, width=cfg.width,
+                          quadrant=quad),
             prepare_bg_slabs(a),
         )
     )
-    from ..ops.pallas_scene import prepare_bg_slabs_db, prepare_obj_slabs
-
     pack_db = jax.jit(
         lambda obj, src, sizes: (
-            prepare_obj_slabs(obj), prepare_bg_slabs_db(src, sizes)
+            prepare_obj_slabs(obj, quadrant=quad),
+            prepare_bg_slabs_db(src, sizes),
         )
     )
     cache = {}
