@@ -37,7 +37,7 @@ from ..config import (
 )
 from ..ops import affine
 from ..random import shapers
-from ..random.streams import Stream, sample_key, stream_key, uniform, uniform_int, normal
+from ..random.streams import ScopeDraws, Stream, sample_bits_table, sample_key
 from .blueprint import Background, Objects, Primitives, Scene
 
 # Polygon segment type codes (PolySegmentType_t, DataGenerator.h:377-381).
@@ -46,11 +46,11 @@ SEG_LINE = 1
 SEG_CURVE = 2
 
 
-def _triggered(key_t, key_v, p, a, b, default, shaper):
+def _triggered(d: ScopeDraws, s_trig, s_val, p, a, b, default, shaper):
     """trigger ? shaper(a,b) : default  — the pervasive reference idiom
     (e.g. cpp:2122-2123, 2155-2156)."""
-    hit = shapers.trigger(p, uniform(key_t, 0.0, 1.0))
-    val = shaper(a, b, normal(key_v))
+    hit = shapers.trigger(p, d.uniform(s_trig, 0.0, 1.0))
+    val = shaper(a, b, d.normal(s_val))
     return jnp.where(hit, val, default)
 
 
@@ -59,21 +59,21 @@ def _triggered(key_t, key_v, p, a, b, default, shaper):
 # ---------------------------------------------------------------------------
 
 
-def _sample_spoke_polygon(key_fn, spec: ModeSpec):
+def _sample_spoke_polygon(d: ScopeDraws, spec: ModeSpec):
     """Star polygon: spokes at perturbed angles with random radii
     (cpp:2206-2229 and the shared variant with curves, cpp:2287-2316).
 
-    Returns (verts[S,2], types[S], n_spokes). ``key_fn(stream)`` yields the
-    stream key scoped to this primitive.
+    Returns (verts[S,2], types[S], n_spokes). ``d`` is the scope's draw view
+    (object or component region of the sample's bits table).
     """
     S = MAX_SPOKES
-    n = uniform_int(key_fn(Stream.POLY_SPOKES), *spec.spokes_range)
+    n = d.uniform_int(Stream.POLY_SPOKES, *spec.spokes_range)
     i = jnp.arange(S, dtype=jnp.float32)
-    dphi = uniform(key_fn(Stream.POLY_DPHI), *spec.dphi_range_deg, (S,))
+    dphi = d.uniform(Stream.POLY_DPHI, *spec.dphi_range_deg, (S,))
     phi = (i * 360.0 / n.astype(jnp.float32) + dphi) * (jnp.pi / 180.0)
-    r = uniform(key_fn(Stream.POLY_R), *spec.spoke_r_range, (S,))
-    xs = uniform(key_fn(Stream.POLY_SCALE_X), *spec.poly_scale_range)
-    ys = uniform(key_fn(Stream.POLY_SCALE_Y), *spec.poly_scale_range)
+    r = d.uniform(Stream.POLY_R, *spec.spoke_r_range, (S,))
+    xs = d.uniform(Stream.POLY_SCALE_X, *spec.poly_scale_range)
+    ys = d.uniform(Stream.POLY_SCALE_Y, *spec.poly_scale_range)
     verts = jnp.stack([xs * r * jnp.cos(phi), ys * r * jnp.sin(phi)], axis=-1)
 
     if spec.axis_aligned_rect:
@@ -90,7 +90,7 @@ def _sample_spoke_polygon(key_fn, spec: ModeSpec):
     # Segment types with the reference's skip-next-after-curve walk
     # (cpp:2305-2315): index 0 is the start point (Dummy); a Curve3 at i uses
     # vertex i as control point and consumes i+1 (marked Dummy).
-    curve_u = uniform(key_fn(Stream.POLY_CURVE_TRIGGER), 0.0, 1.0, (S,))
+    curve_u = d.uniform(Stream.POLY_CURVE_TRIGGER, 0.0, 1.0, (S,))
     types = [jnp.int32(SEG_DUMMY)]
     prev_dummy = jnp.bool_(False)
     for idx in range(1, S):
@@ -178,18 +178,16 @@ def flatten_outline(verts, types, n):
 # ---------------------------------------------------------------------------
 
 
-def _sample_geometry(key_fn, spec: ModeSpec, kinds):
+def _sample_geometry(d: ScopeDraws, spec: ModeSpec, kinds):
     """Sample one primitive's geometry: kind, ellipse radii, flattened outline.
 
     ``kinds`` is the static tuple of kinds to choose among (object kinds for
     top-level objects; non-composite kinds for components)."""
-    kind = shapers.choice(
-        jnp.array(kinds, jnp.int32), uniform_int(key_fn(Stream.OBJ_TYPE), 0, 1 << 30)
-    )
+    kind = shapers.choice(jnp.array(kinds, jnp.int32), d.raw_index(Stream.OBJ_TYPE))
     f = spec.ellipse_radius_factor
-    rx = uniform(key_fn(Stream.ELLI_SCALE_X), *spec.ellipse_scale_range) * f
-    ry = uniform(key_fn(Stream.ELLI_SCALE_Y), *spec.ellipse_scale_range) * f
-    verts, types, n = _sample_spoke_polygon(key_fn, spec)
+    rx = d.uniform(Stream.ELLI_SCALE_X, *spec.ellipse_scale_range) * f
+    ry = d.uniform(Stream.ELLI_SCALE_Y, *spec.ellipse_scale_range) * f
+    verts, types, n = _sample_spoke_polygon(d, spec)
     edge_pts, n_edges = flatten_outline(verts, types, n)
     return kind, rx, ry, edge_pts, n_edges
 
@@ -199,19 +197,20 @@ def _sample_geometry(key_fn, spec: ModeSpec, kinds):
 # ---------------------------------------------------------------------------
 
 
-def sample_background(skey, spec: ModeSpec, width, height, n_warp_slots):
-    """generateBackground (cpp:2105-2143)."""
-    sk = lambda s: stream_key(skey, s)
+def sample_background(d: ScopeDraws, spec: ModeSpec, width, height,
+                      n_warp_slots):
+    """generateBackground (cpp:2105-2143). ``d``: the sample-level scope of
+    the bits table."""
     rot = _triggered(
-        sk(Stream.BG_ROT_TRIGGER), sk(Stream.BG_ROT),
+        d, Stream.BG_ROT_TRIGGER, Stream.BG_ROT,
         spec.bg_rot_p, *spec.bg_rot_range, 0.0, shapers.gaussian_sq,
     )
     scale = _triggered(
-        sk(Stream.BG_SCALE_TRIGGER), sk(Stream.BG_SCALE),
+        d, Stream.BG_SCALE_TRIGGER, Stream.BG_SCALE,
         spec.bg_scale_p, *spec.bg_scale_range, 1.0, shapers.gaussian_sq,
     )
-    pre_tx = shapers.gaussian_4(*spec.bg_trans_range, normal(sk(Stream.BG_TRANS_X)))
-    pre_ty = shapers.gaussian_4(*spec.bg_trans_range, normal(sk(Stream.BG_TRANS_Y)))
+    pre_tx = shapers.gaussian_4(*spec.bg_trans_range, d.normal(Stream.BG_TRANS_X))
+    pre_ty = shapers.gaussian_4(*spec.bg_trans_range, d.normal(Stream.BG_TRANS_Y))
     if spec.horizontal_only:
         pre_ty = jnp.zeros_like(pre_ty)   # rectified stereo: x-shift only
     # Rotate the translation into the post-rotation frame (cpp:2124-2129).
@@ -219,19 +218,19 @@ def sample_background(skey, spec: ModeSpec, width, height, n_warp_slots):
     ty = jnp.sin(-rot) * pre_tx + jnp.cos(-rot) * pre_ty
     motion = affine.motion_transform(rot, scale, tx, ty)
 
-    tex_id = uniform_int(sk(Stream.BG_TEX_ID), 0, 1 << 30)
-    tex_rot = uniform(sk(Stream.BG_INIT_ROT), *spec.bg_init_rot_range)
-    tex_zoom = uniform(sk(Stream.BG_INIT_SCALE), *spec.bg_init_scale_range)
+    tex_id = d.raw_index(Stream.BG_TEX_ID)
+    tex_rot = d.uniform(Stream.BG_INIT_ROT, *spec.bg_init_rot_range)
+    tex_zoom = d.uniform(Stream.BG_INIT_SCALE, *spec.bg_init_scale_range)
     shift_x = shapers.choice(
-        jnp.array([0.0, float(width)]), uniform_int(sk(Stream.BG_INIT_TRANS_X), 0, 1 << 30)
+        jnp.array([0.0, float(width)]), d.raw_index(Stream.BG_INIT_TRANS_X)
     )
     shift_y = shapers.choice(
-        jnp.array([0.0, float(height)]), uniform_int(sk(Stream.BG_INIT_TRANS_Y), 0, 1 << 30)
+        jnp.array([0.0, float(height)]), d.raw_index(Stream.BG_INIT_TRANS_Y)
     )
     warp = shapers.trigger(
-        spec.warp_p, uniform(sk(Stream.OBJ_DEFORMS_NONRIGIDLY), 0.0, 1.0)
+        spec.warp_p, d.uniform(Stream.OBJ_DEFORMS_NONRIGIDLY, 0.0, 1.0)
     )
-    warp_slot = uniform_int(sk(Stream.WARP_ASSIGN), 0, max(n_warp_slots - 1, 0))
+    warp_slot = d.uniform_int(Stream.WARP_ASSIGN, 0, max(n_warp_slots - 1, 0))
     return Background(
         motion=motion,
         tex_id=tex_id,
@@ -259,68 +258,75 @@ def sample_scene(
     w2, h2 = width / 2.0, height / 2.0
     m = spec.obj_init_trans_margin
 
-    bg = sample_background(skey, spec, width, height, n_warp_slots)
+    # One threefry call yields every random word of the sample: scope 0 is
+    # the sample level, scopes 1..K the objects, then K*C component scopes.
+    bits = sample_bits_table(skey, 1 + K + K * C)
+    bg = sample_background(ScopeDraws(bits[0]), spec, width, height,
+                           n_warp_slots)
+    obj_rows = bits[1 : 1 + K]
+    comp_rows = bits[1 + K :].reshape(K, C, bits.shape[1])
 
     # generateNumberOfFgObjects: int(Uniform(16,24)) (cpp:2832-2835).
-    n_objects = uniform(
-        stream_key(skey, Stream.NUM_FG_OBJECTS), *spec.n_fg_range
+    n_objects = (
+        ScopeDraws(bits[0]).uniform(Stream.NUM_FG_OBJECTS, *spec.n_fg_range)
     ).astype(jnp.int32)
     ks = jnp.arange(K)
     valid = ks < n_objects
 
     non_composite = tuple(k for k in spec.obj_types if k != KIND_COMPOSITE)
 
-    def per_object(k):
-        ok = lambda s: stream_key(skey, s, k)
+    def per_object(k, orow, crows):
+        ok = ScopeDraws(orow)
 
         obj_kind, s_rx, s_ry, s_pts, s_ne = _sample_geometry(ok, spec, spec.obj_types)
         is_comp = obj_kind == KIND_COMPOSITE
 
         # Intrinsic pose and motion (shared by every primitive of the object).
-        init_rot = uniform(ok(Stream.OBJ_INIT_ROT), *spec.obj_init_rot_range)
-        init_tx = uniform(ok(Stream.OBJ_INIT_TRANS_X), -w2 - m, 3 * w2 + m)
-        init_ty = uniform(ok(Stream.OBJ_INIT_TRANS_Y), -h2 - m, 3 * h2 + m)
+        init_rot = ok.uniform(Stream.OBJ_INIT_ROT, *spec.obj_init_rot_range)
+        init_tx = ok.uniform(Stream.OBJ_INIT_TRANS_X, -w2 - m, 3 * w2 + m)
+        init_ty = ok.uniform(Stream.OBJ_INIT_TRANS_Y, -h2 - m, 3 * h2 + m)
         rot = _triggered(
-            ok(Stream.OBJ_ROT_TRIGGER), ok(Stream.OBJ_ROT),
+            ok, Stream.OBJ_ROT_TRIGGER, Stream.OBJ_ROT,
             spec.obj_rot_p, *spec.obj_rot_range, 0.0, shapers.gaussian_sq,
         )
         scale = _triggered(
-            ok(Stream.OBJ_SCALE_TRIGGER), ok(Stream.OBJ_SCALE),
+            ok, Stream.OBJ_SCALE_TRIGGER, Stream.OBJ_SCALE,
             spec.obj_scale_p, *spec.obj_scale_range, 1.0, shapers.gaussian_sq,
         )
-        tx = shapers.gaussian_cube(*spec.obj_trans_range, normal(ok(Stream.OBJ_TRANS_X)))
-        ty = shapers.gaussian_cube(*spec.obj_trans_range, normal(ok(Stream.OBJ_TRANS_Y)))
+        tx = shapers.gaussian_cube(*spec.obj_trans_range, ok.normal(Stream.OBJ_TRANS_X))
+        ty = shapers.gaussian_cube(*spec.obj_trans_range, ok.normal(Stream.OBJ_TRANS_Y))
         if spec.horizontal_only:
             ty = jnp.zeros_like(ty)       # rectified stereo: x-shift only
-        tex_id = uniform_int(ok(Stream.OBJ_TEX_ID), 0, 1 << 30)
+        tex_id = ok.raw_index(Stream.OBJ_TEX_ID)
         thin = spec.use_thin & shapers.trigger(
-            spec.thin_p, uniform(ok(Stream.OBJ_IS_EXTRA_THIN), 0.0, 1.0)
+            spec.thin_p, ok.uniform(Stream.OBJ_IS_EXTRA_THIN, 0.0, 1.0)
         )
         warp = shapers.trigger(
-            spec.warp_p, uniform(ok(Stream.OBJ_DEFORMS_NONRIGIDLY), 0.0, 1.0)
+            spec.warp_p, ok.uniform(Stream.OBJ_DEFORMS_NONRIGIDLY, 0.0, 1.0)
         )
-        warp_slot = uniform_int(ok(Stream.WARP_ASSIGN), 0, max(n_warp_slots - 1, 0))
+        warp_slot = ok.uniform_int(Stream.WARP_ASSIGN, 0, max(n_warp_slots - 1, 0))
 
         motion = affine.motion_transform(rot, scale, tx, ty)
 
         # --- Component-slot geometry (used when the object is a composite) ---
-        def per_component(c):
-            ck = lambda s: stream_key(skey, s, k, c)
+        def per_component(crow):
+            ck = ScopeDraws(crow)
             c_kind, c_rx, c_ry, c_pts, c_ne = _sample_geometry(ck, spec, non_composite)
-            c_init_rot = uniform(ck(Stream.OBJ_INIT_ROT), *spec.obj_init_rot_range)
-            off_x = uniform(ck(Stream.COMP_OFFSET), *spec.component_offset_range)
-            off_y = uniform(ck(Stream.COMP_OFFSET_Y), *spec.component_offset_range)
+            c_init_rot = ck.uniform(Stream.OBJ_INIT_ROT, *spec.obj_init_rot_range)
+            off_x = ck.uniform(Stream.COMP_OFFSET, *spec.component_offset_range)
+            off_y = ck.uniform(Stream.COMP_OFFSET_Y, *spec.component_offset_range)
             c_add = shapers.trigger(
-                spec.component_additive_p, uniform(ck(Stream.COMP_IS_ADDITIVE), 0.0, 1.0)
+                spec.component_additive_p,
+                ck.uniform(Stream.COMP_IS_ADDITIVE, 0.0, 1.0),
             )
             return c_kind, c_rx, c_ry, c_pts, c_ne, c_init_rot, off_x, off_y, c_add
 
         (c_kind, c_rx, c_ry, c_pts, c_ne, c_init_rot, off_x, off_y, c_add) = jax.vmap(
             per_component
-        )(jnp.arange(C))
+        )(crows)
 
-        n_parts = uniform_int(
-            ok(Stream.COMP_NUM_COMPONENTS), *spec.n_components_range
+        n_parts = ok.uniform_int(
+            Stream.COMP_NUM_COMPONENTS, *spec.n_components_range
         )
         comp_thin = thin  # composite "outline" variant trigger (cpp:2504, 2668)
 
@@ -344,10 +350,10 @@ def sample_scene(
         # copies of component-0's shape; the inner (subtractive) copy is either
         # shrunk x0.9 or (ellipses, 50%) offset instead.
         ell_offset = (c_kind[0] == KIND_ELLIPSE) & shapers.trigger(
-            spec.generic_p, uniform(ok(Stream.GENERIC_TRIGGER), 0.0, 1.0)
+            spec.generic_p, ok.uniform(Stream.GENERIC_TRIGGER, 0.0, 1.0)
         )
-        o_dx = uniform(ok(Stream.COMP_INIT_TRANS_X), *spec.comp_init_trans_range)
-        o_dy = uniform(ok(Stream.COMP_INIT_TRANS_Y), *spec.comp_init_trans_range)
+        o_dx = ok.uniform(Stream.COMP_INIT_TRANS_X, *spec.comp_init_trans_range)
+        o_dy = ok.uniform(Stream.COMP_INIT_TRANS_Y, *spec.comp_init_trans_range)
         inner_scale = jnp.where(ell_offset, 1.0, spec.outline_shrink)
         thin_valid = cs < 2
         is_outer = cs == 0
@@ -430,7 +436,7 @@ def sample_scene(
     (
         tex_id, motion, warp, warp_slot,
         p_valid, p_add, p_is_poly, p_intr, p_rx, p_ry, p_pts, p_ne,
-    ) = jax.vmap(per_object)(ks)
+    ) = jax.vmap(per_object)(ks, obj_rows, comp_rows)
 
     # Fold the conjugated background motion into every object's motion
     # (addBackgroundMotion, cpp:324-335).

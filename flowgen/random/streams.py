@@ -20,6 +20,8 @@ import enum
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 
 
 class Stream(enum.IntEnum):
@@ -87,6 +89,108 @@ class Stream(enum.IntEnum):
 
 def root_key(seed) -> jax.Array:
     return jax.random.key(seed)
+
+
+# ---------------------------------------------------------------------------
+# Bulk counter-based draws (the hot-path API)
+#
+# Chained ``fold_in`` per (stream, object, component) costs hundreds of
+# small threefry dispatches per traced scene (~6 ms/batch measured round 2).
+# The scene sampler instead derives ALL of a sample's randomness in ONE
+# threefry call — ``jax.random.bits(sample_key, (N,))`` is counter-based by
+# construction — and call sites read static slots of the bits table. Slot
+# layout: every named stream owns a fixed-width block inside a per-scope
+# region (scopes: 1 sample-level + MAX_OBJECTS object + MAX_OBJECTS *
+# MAX_COMPONENTS component regions). The layout is part of the seed
+# contract: changing widths or offsets reshuffles all generated content.
+# ---------------------------------------------------------------------------
+
+# Streams drawing (MAX_SPOKES,)-shaped vectors; all others get 2 slots
+# (scalar uniforms use slot 0; scalar normals consume both via Box-Muller).
+_VECTOR_STREAMS = {}
+
+
+def _build_layout():
+    from ..config import MAX_SPOKES
+
+    vec = {
+        Stream.POLY_DPHI: MAX_SPOKES,
+        Stream.POLY_R: MAX_SPOKES,
+        Stream.POLY_CURVE_TRIGGER: MAX_SPOKES,
+    }
+    offsets = {}
+    acc = 0
+    for s in sorted(Stream, key=int):
+        offsets[s] = acc
+        acc += vec.get(s, 2)
+    return offsets, acc
+
+
+_SLOT_OFFSET, SCOPE_STRIDE = None, None
+
+
+def _layout():
+    global _SLOT_OFFSET, SCOPE_STRIDE
+    if _SLOT_OFFSET is None:
+        _SLOT_OFFSET, SCOPE_STRIDE = _build_layout()
+    return _SLOT_OFFSET, SCOPE_STRIDE
+
+
+def sample_bits_table(skey: jax.Array, n_scopes: int):
+    """All random words for one sample: (n_scopes, SCOPE_STRIDE) uint32,
+    one threefry call on the per-sample key. Scope 0 is the sample level
+    (background + counts); callers slice further scopes for
+    objects/components."""
+    _, stride = _layout()
+    return jax.random.bits(skey, (n_scopes, stride), dtype=jnp.uint32)
+
+
+class ScopeDraws:
+    """Static-slot draw accessors over one scope's bits row (uint32 vector).
+
+    Distribution semantics match the key-based helpers below: ``uniform`` is
+    U[a, b) at 24-bit resolution, ``uniform_int`` the closed range [a, b]
+    (modulo; bias <= range/2^32), ``normal`` a Box-Muller N(0,1) pair
+    reduced to its cosine branch.
+    """
+
+    __slots__ = ("row",)
+
+    def __init__(self, row):
+        self.row = row
+
+    def _slot(self, stream, width=1):
+        off = _layout()[0][stream]
+        return lax.slice_in_dim(self.row, off, off + width)
+
+    def u01(self, stream, width=1):
+        b = self._slot(stream, width)
+        return (b >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+
+    def uniform(self, stream, a, b, shape=()):
+        width = int(np.prod(shape)) if shape else 1
+        u = self.u01(stream, width)
+        val = a + u * (b - a)
+        return val.reshape(shape) if shape else val[0]
+
+    def uniform_int(self, stream, a, b):
+        span = jnp.uint32(b - a + 1)
+        return (a + (self._slot(stream)[0] % span)).astype(jnp.int32)
+
+    def raw_index(self, stream):
+        """Non-negative unbounded random index (callers take ``% n``)."""
+        return (self._slot(stream)[0] & jnp.uint32(0x7FFFFFFF)).astype(
+            jnp.int32
+        )
+
+    def normal(self, stream):
+        b = self._slot(stream, 2)
+        u1 = (b[0] >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (
+            0.5 / (1 << 24)
+        )
+        u2 = (b[1] >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        return r * jnp.cos(2.0 * jnp.pi * u2)
 
 
 def sample_key(root: jax.Array, sample_index) -> jax.Array:
