@@ -8,9 +8,9 @@
 // parallel straight into the caller-provided atlas memory (zero-copy into
 // numpy).
 //
-// Supported formats: PNG (via system zlib), binary PPM/PGM, uncompressed
-// 24/32-bit BMP. Anything else makes fg_load_images return nonzero and the
-// Python caller falls back to PIL for the whole batch.
+// Supported formats: baseline JPEG (jpeg.cpp), PNG (via system zlib), binary
+// PPM/PGM, uncompressed 24/32-bit BMP. Anything else makes fg_load_images
+// return nonzero and the Python caller falls back to PIL for the whole batch.
 //
 // Build: make -C flowgen/texture_io/native
 
@@ -26,6 +26,8 @@
 #include <vector>
 
 #include <zlib.h>
+
+#include "jpeg.h"
 
 namespace {
 
@@ -256,6 +258,15 @@ Image decode(const std::string& path) {
     return decode_pnm(bytes);
   if (bytes[0] == 'B' && bytes[1] == 'M') return decode_bmp(bytes);
   if (bytes[0] == 137 && bytes[1] == 'P') return decode_png(bytes);
+  if (bytes[0] == 0xFF && bytes[1] == 0xD8) {
+    Image img;
+    if (fg_decode_jpeg(bytes.data(), bytes.size(), &img.w, &img.h,
+                       &img.data)) {
+      img.c = 3;
+      return img;
+    }
+    return Image{};
+  }
   return Image{};
 }
 

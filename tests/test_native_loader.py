@@ -61,3 +61,60 @@ def test_load_texture_db_uses_native(have_native, tmp_path):
         f.write("\n".join(paths))
     atlas = texture_io.load_texture_db([listfile], height=24, width=32)
     assert atlas.shape == (4, 48, 64, 3)
+
+
+def test_native_jpeg_matches_pil(have_native, tmp_path):
+    """Baseline JPEG decode (native jpeg.cpp) vs PIL/libjpeg on the same
+    bytes: both implement T.81 annex F exactly up to IDCT rounding and
+    chroma upsampling (replication here, fancy upsampling in libjpeg), so
+    pixels agree to a few levels on smooth content."""
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:64, 0:96].astype(np.float32)
+    smooth = np.stack(
+        [128 + 90 * np.sin(xx / 19), 128 + 90 * np.cos(yy / 13),
+         128 + 60 * np.sin((xx + yy) / 29)], axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+
+    cases = [
+        ("q95_420", dict(quality=95)),
+        ("q85_444", dict(quality=85, subsampling=0)),
+        ("q95_422", dict(quality=95, subsampling=1)),
+    ]
+    for name, kw in cases:
+        p = str(tmp_path / f"{name}.jpg")
+        Image.fromarray(smooth).save(p, **kw)
+        out = native.load_images_native([p], 64, 96)
+        assert out is not None, name
+        ref = np.asarray(Image.open(p).convert("RGB")).astype(int)
+        d = np.abs(out[0].astype(int) - ref)
+        assert d.mean() < 2.0, (name, d.mean())
+        assert np.median(d) <= 1.0, name
+
+    # Grayscale single-component scan.
+    pg = str(tmp_path / "gray.jpg")
+    Image.fromarray(smooth[..., 0], mode="L").save(pg, quality=92)
+    out = native.load_images_native([pg], 64, 96)
+    ref = np.asarray(Image.open(pg).convert("RGB")).astype(int)
+    assert np.abs(out[0].astype(int) - ref).mean() < 2.0
+
+    # Restart markers (DRI), if this PIL exposes the knob.
+    try:
+        pr = str(tmp_path / "restart.jpg")
+        Image.fromarray(smooth).save(pr, quality=90, restart_marker_blocks=4)
+        out = native.load_images_native([pr], 64, 96)
+        ref = np.asarray(Image.open(pr).convert("RGB")).astype(int)
+        assert np.abs(out[0].astype(int) - ref).mean() < 2.0
+    except TypeError:
+        pass
+
+
+def test_native_jpeg_progressive_falls_back(have_native, tmp_path):
+    from PIL import Image
+
+    img = np.random.default_rng(1).integers(0, 255, (32, 32, 3), np.uint8)
+    p = str(tmp_path / "prog.jpg")
+    Image.fromarray(img).save(p, progressive=True, quality=90)
+    # Progressive scans are out of scope for the native tier: whole-batch
+    # PIL fallback (load_images_native -> None).
+    assert native.load_images_native([p], 32, 32) is None
