@@ -22,8 +22,15 @@ payload).
 """
 
 import json
+import os
 import sys
 import time
+
+# Persistent compilation cache: each distinct mode's first compile is
+# multi-minute through the tunneled backend; caching lets a warmed machine
+# (tools/ runs, earlier bench invocations) fit all five modes in the budget.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_PER_CHIP = 1250.0  # north star: 10k/s on v5e-8 (BASELINE.md)
 
@@ -31,11 +38,15 @@ BASELINE_PER_CHIP = 1250.0  # north star: 10k/s on v5e-8 (BASELINE.md)
 def _measure(fn, probe, root, atlas, batch, n_steps, base=1):
     import jax.numpy as jnp
 
-    t0 = time.perf_counter()
+    times = []
     for i in range(n_steps):
+        t0 = time.perf_counter()
         float(probe(fn(root, jnp.int32(base + i), atlas)))
-    dt = time.perf_counter() - t0
-    return n_steps * batch / dt
+        times.append(time.perf_counter() - t0)
+    rate = n_steps * batch / sum(times)
+    mean = sum(times) / len(times)
+    var = sum((t - mean) ** 2 for t in times) / len(times)
+    return rate, (var ** 0.5) / mean
 
 
 def _measure_pipelined(fn, probe, root, atlas, batch, n_steps, base=100):
@@ -64,13 +75,13 @@ def _bench_mode(mode, batch, n_steps, atlas_np, pipelined=False):
     probe = jax.jit(lambda o: o["flow0"].ravel()[-1] + o["image1"].ravel()[-1])
     root = root_key(0)
     float(probe(fn(root, jnp.int32(0), atlas)))  # warmup / compile
-    rate = _measure(fn, probe, root, atlas, batch, n_steps)
+    rate, spread = _measure(fn, probe, root, atlas, batch, n_steps)
     pipe = (
         _measure_pipelined(fn, probe, root, atlas, batch, n_steps)
         if pipelined
         else None
     )
-    return rate, pipe
+    return rate, pipe, spread
 
 
 def main():
@@ -85,7 +96,7 @@ def main():
         # Legacy single-mode form.
         mode = int(sys.argv[1])
         n_steps = 8
-        rate, _ = _bench_mode(mode, batch, n_steps, atlas_np)
+        rate, _, spread = _bench_mode(mode, batch, n_steps, atlas_np)
         print(
             json.dumps(
                 {
@@ -93,6 +104,7 @@ def main():
                     "value": round(rate, 2),
                     "unit": "samples/sec/chip",
                     "vs_baseline": round(rate / BASELINE_PER_CHIP, 4),
+                    "spread": round(spread, 3),
                     "batch": batch,
                     "steps": n_steps,
                 }
@@ -101,14 +113,17 @@ def main():
         return
 
     t_start = time.time()
-    rate7, pipe7 = _bench_mode(7, batch, 16, atlas_np, pipelined=True)
+    # Pipelined mode 7 reuses the compiled step (cheap); the secondary modes
+    # each pay a fresh compile, so the budget guard walks the priority list
+    # 9 > 1 > 11 > 13 and stops before blowing the harness budget — the
+    # payload stays one JSON line regardless of where it stops.
+    rate7, pipe7, spread7 = _bench_mode(7, batch, 16, atlas_np, pipelined=True)
     modes = {"7": round(rate7, 2)}
-    # Secondary modes are skipped if first-compiles have already eaten the
-    # harness budget (the payload stays one JSON line either way).
-    for m, steps in ((1, 6), (9, 6)):
-        if time.time() - t_start > 420:
+    for m, steps, budget_s in ((9, 6, 480), (1, 6, 480), (11, 6, 480),
+                               (13, 6, 480)):
+        if time.time() - t_start > budget_s:
             break
-        r, _ = _bench_mode(m, batch, steps, atlas_np)
+        r, _, _ = _bench_mode(m, batch, steps, atlas_np)
         modes[str(m)] = round(r, 2)
     print(
         json.dumps(
@@ -119,6 +134,7 @@ def main():
                 "vs_baseline": round(rate7 / BASELINE_PER_CHIP, 4),
                 "modes": modes,
                 "pipelined": round(pipe7, 2),
+                "spread": round(spread7, 3),
                 "batch": batch,
                 "steps": 16,
             }

@@ -1,55 +1,200 @@
 #!/usr/bin/env python
-"""On-device Pallas-vs-XLA equivalence check (run on real TPU hardware).
+"""On-device megakernel correctness check (run on real TPU hardware).
 
-The CPU test suite exercises the Pallas kernels in interpreter mode; this
-script validates the compiled kernels on the actual chip by rendering
-identical batches with use_pallas="always" and "never" and comparing:
-flow must match exactly, images within AA-edge numerics.
+Two comparisons per mode, from the same concrete inputs:
 
-Usage: python tools/check_pallas_tpu.py [mode ...]
+1. **Mosaic vs interpreter** — ``render_batch_fused`` compiled on the TPU
+   against the SAME kernel run in Pallas interpreter mode on the host CPU,
+   with bit-identical operands (scenes/slabs/aux staged once on CPU). This is
+   the lowering check: any Mosaic compilation bug shows up as a mismatch.
+   Flow must agree to f32 noise; frames are integer-rounded so they agree
+   exactly except where backend f32 differences straddle a .5 boundary.
+
+2. **Fused vs windowed (both on TPU)** — path equivalence, statistical. The
+   two paths resample through different (both documented) chains: quad
+   gathers with the +1-neighbor mirror deviation vs true-reflect slabs, and
+   the fused path rounds frames; images therefore differ sub-level almost
+   everywhere and the comparison bounds the distribution, not the max. Flow
+   uses identical coverage math and must match exactly for rigid modes
+   (median + outliers for mode 9's two displacement-warp formulations).
+
+Usage: python tools/check_pallas_tpu.py [--json OUT.json] [mode ...]
 """
 
+import json
 import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 import numpy as np
 
 
+def _fused_outputs(scenes, slabs, bgslabs, src_hw, cfg, warp_aux, device,
+                   interpret):
+    import jax
+
+    from flowgen.compose.fused import render_batch_fused
+
+    inputs = jax.device_put((scenes, slabs, bgslabs, warp_aux), device)
+    scenes_d, slabs_d, bgslabs_d, aux_d = inputs
+    with jax.default_device(device):
+        out = render_batch_fused(
+            scenes_d, slabs_d, bgslabs_d, src_hw, cfg,
+            interpret=interpret, warp_aux=aux_d,
+        )
+    return [np.asarray(o) for o in out]
+
+
 def main():
+    import jax
     import jax.numpy as jnp
 
     import flowgen
+    from flowgen.ops.pallas_scene import (
+        prepare_bg_slabs, prepare_slabs, quadrant_needed,
+    )
+    from flowgen.compose.render import prepare_atlas
+    from flowgen.params.sampler import sample_scene_batch
     from flowgen.random.streams import root_key
+    from flowgen.warpfields import generator as warpgen
 
-    modes = [int(m) for m in sys.argv[1:]] or [1, 7, 9]
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    modes = [int(m) for m in args] or [1, 7, 9]
     failures = 0
+    results = {}
+    cpu = jax.devices("cpu")[0]
+    tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
+    print(f"devices: tpu={tpu}, cpu={cpu}", flush=True)
+
     for mode in modes:
+        cfg = flowgen.DataGenConfig(mode=mode, batch_size=4, seed=3)
+        res = {}
+
+        # ---- stage identical concrete inputs on host ----
+        with jax.default_device(cpu):
+            atlas = jnp.asarray(
+                flowgen.procedural_atlas(
+                    4, height=cfg.height, width=cfg.width
+                ),
+                jnp.float32,
+            )
+            quad = prepare_atlas(atlas)
+            slabs = prepare_slabs(
+                quad[..., :3], cfg.height, cfg.width,
+                quadrant=quadrant_needed(cfg.mode_spec),
+            )
+            bgslabs = prepare_bg_slabs(quad[..., :3])
+            warp_aux = None
+            n_slots = 1
+            if cfg.mode_spec.warp_p > 0.0:
+                bank = warpgen.make_warp_bank(
+                    root_key(3), jnp.int32(0), cfg, impl="xla"
+                )
+                warp_aux = warpgen.make_warp_aux(bank)
+                n_slots = warpgen.bank_size(cfg)
+            scenes = sample_scene_batch(
+                root_key(3), jnp.arange(4), cfg, n_warp_slots=n_slots
+            )
+            scenes = jax.tree.map(np.asarray, scenes)
+            slabs = np.asarray(slabs)
+            bgslabs = np.asarray(bgslabs)
+            if warp_aux is not None:
+                warp_aux = jax.tree.map(np.asarray, warp_aux)
+        src_hw = (cfg.height, cfg.width)
+
+        # ---- 1: compiled Mosaic (TPU) vs interpreter (CPU) ----
+        out_tpu = _fused_outputs(
+            scenes, slabs, bgslabs, src_hw, cfg, warp_aux, tpu, False
+        )
+        out_cpu = _fused_outputs(
+            scenes, slabs, bgslabs, src_hw, cfg, warp_aux, cpu, True
+        )
+        dflow = np.abs(out_tpu[2] - out_cpu[2])
+        dimg = max(
+            (np.abs(out_tpu[i] - out_cpu[i]) >= 1.0).mean() for i in (0, 1)
+        )
+        dimg2 = max(
+            (np.abs(out_tpu[i] - out_cpu[i]) >= 2.0).mean() for i in (0, 1)
+        )
+        ok1 = (
+            float(np.median(dflow)) < 1e-4
+            and (dflow > 0.01).mean() < 1e-3
+            and dimg < 0.01
+            and dimg2 < 1e-4
+        )
+        res["mosaic_vs_interpret"] = {
+            "flow_median": float(np.median(dflow)),
+            "flow_frac_gt_0.01": float((dflow > 0.01).mean()),
+            "img_frac_ge_1": float(dimg),
+            "img_frac_ge_2": float(dimg2),
+            "ok": bool(ok1),
+        }
+
+        # ---- 2: fused vs windowed, both on TPU ----
         outs = {}
         for up in ("never", "always"):
-            cfg = flowgen.DataGenConfig(
+            c2 = flowgen.DataGenConfig(
                 mode=mode, batch_size=4, seed=3, use_pallas=up
             )
-            atlas = jnp.asarray(
-                flowgen.procedural_atlas(4, height=cfg.height, width=cfg.width)
-            )
-            fn = flowgen.make_generate_fn(cfg)
+            fn = flowgen.make_generate_fn(c2)
             outs[up] = {
                 k: np.asarray(v)
                 for k, v in fn(root_key(3), jnp.int32(1), atlas).items()
             }
-        dflow = np.abs(outs["never"]["flow0"] - outs["always"]["flow0"]).max()
-        dimg = max(
-            (np.abs(outs["never"][k] - outs["always"][k]) > 0.5).mean()
+        dflow2 = np.abs(outs["never"]["flow0"] - outs["always"]["flow0"])
+        dmed = max(
+            float(np.median(np.abs(outs["never"][k] - outs["always"][k])))
             for k in ("image0", "image1")
         )
-        ok = dflow == 0.0 and dimg < 1e-3
-        failures += 0 if ok else 1
-        print(
-            f"mode {mode}: flow maxdiff {dflow}, image frac>0.5 {dimg:.2e} "
-            f"{'OK' if ok else 'FAIL'}"
+        dbig = max(
+            (np.abs(outs["never"][k] - outs["always"][k]) >= 4.0).mean()
+            for k in ("image0", "image1")
         )
+        warped = cfg.mode_spec.warp_p > 0.0
+        if warped:
+            f2 = float(np.median(dflow2))
+            okf = f2 < 1e-3 and (dflow2 > 0.1).mean() < 0.02
+        else:
+            f2 = float(dflow2.max())
+            okf = f2 == 0.0
+        # Flow gates (identical coverage math through two code paths); the
+        # image stats are informational only — the windowed path's quad-
+        # gather chain carries its documented +1-neighbor mirror deviation
+        # over every mirrored background region (~30% of frame-1 pixels
+        # under big bg motions), so the distribution reflects THAT path's
+        # distance from the ideal, not the megakernel's (which comparison 1
+        # plus tests/test_fused.py's fused-vs-ideal bounds pin down).
+        ok2 = okf and dmed <= 1.0
+        res["fused_vs_windowed"] = {
+            "flow_dev": f2,
+            "img_median": dmed,
+            "img_frac_ge_4_informational": float(dbig),
+            "ok": bool(ok2),
+        }
+
+        ok = ok1 and ok2
+        failures += 0 if ok else 1
+        results[str(mode)] = {**res, "ok": bool(ok)}
+        print(
+            f"mode {mode}: mosaic-vs-interp flow_med "
+            f"{res['mosaic_vs_interpret']['flow_median']:.1e} "
+            f"img>=1 {res['mosaic_vs_interpret']['img_frac_ge_1']:.2e} "
+            f"{'OK' if ok1 else 'FAIL'} | fused-vs-windowed flow {f2:.1e} "
+            f"img_med {dmed:.1f} img>=4 {dbig:.2e} "
+            f"{'OK' if ok2 else 'FAIL'}",
+            flush=True,
+        )
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"results": results, "ok": failures == 0}, f)
     sys.exit(1 if failures else 0)
 
 

@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""One-shot device-time breakdown of the generation step (run on real TPU).
+
+Times each pipeline component with pipelined dispatch (N async steps, one
+scalar readback) so the ~30-45 ms tunnel round-trip per synchronized call
+does not pollute component numbers. Prints one line per measurement as it
+lands (the run is long: each distinct jit is a multi-minute remote compile
+the first time; enable the persistent compilation cache to amortize).
+
+Usage: python tools/profile_scene.py [section ...]
+  sections: full prep kernel mode9  (default: all)
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 32
+STEPS = 12
+
+
+def pipelined(fn, *args, steps=STEPS, warmup=True):
+    """Dispatch ``steps`` async calls, read back one scalar from the last."""
+    probe = lambda o: float(jnp.ravel(jax.tree.leaves(o)[0])[-1])
+    if warmup:
+        probe(fn(*args))
+    t0 = time.perf_counter()
+    outs = None
+    for _ in range(steps):
+        outs = fn(*args)
+    probe(outs)
+    return (time.perf_counter() - t0) / steps
+
+
+def report(name, secs):
+    print(f"{name:42s} {secs * 1e3:9.3f} ms/batch "
+          f"({BATCH / secs:8.1f} samples/s)", flush=True)
+
+
+def main():
+    sections = set(sys.argv[1:]) or {"full", "prep", "kernel", "mode9"}
+
+    import flowgen
+    from flowgen import DataGenConfig
+    from flowgen.compose import fused as fused_mod
+    from flowgen.compose import render as render_mod
+    from flowgen.ops import pallas_scene as ps
+    from flowgen.params.sampler import sample_scene_batch
+    from flowgen.random.streams import root_key
+
+    cfg = DataGenConfig(mode=7, batch_size=BATCH, seed=0)
+    atlas_np = flowgen.procedural_atlas(32, height=cfg.height, width=cfg.width)
+    atlas = jnp.asarray(atlas_np, jnp.float32)
+    root = root_key(0)
+    step = jnp.int32(1)
+
+    t0 = time.perf_counter()
+
+    if "full" in sections:
+        fn = flowgen.make_generate_fn(cfg)
+        report("full step (pipelined)", pipelined(fn, root, step, atlas))
+        # per-step (synchronized) for the tunnel-overhead delta
+        probe = lambda o: float(jnp.ravel(o["flow0"])[-1])
+        t = time.perf_counter()
+        for i in range(6):
+            probe(fn(root, jnp.int32(i), atlas))
+        report("full step (synchronized)", (time.perf_counter() - t) / 6)
+
+    # ---- shared precompute products ----
+    H, W = cfg.height, cfg.width
+    indices = jnp.arange(BATCH)
+
+    @jax.jit
+    def sample_only(root, step):
+        return sample_scene_batch(root, step * BATCH + indices, cfg)
+
+    @jax.jit
+    def prep_all(root, step, atlas):
+        from flowgen.compose.render import prepare_atlas
+        scenes = sample_scene_batch(root, step * BATCH + indices, cfg)
+        slabs = ps.prepare_slabs(atlas, H, W)
+        bgslabs = ps.prepare_bg_slabs(atlas)
+        fx, fy, ifx, ify = jax.vmap(
+            lambda s: render_mod.background_flow(s, cfg)
+        )(scenes)
+        flow_init = jnp.stack([fx, fy], axis=1)
+        count, order, omi, omf, tmi, tmf, edges = jax.vmap(
+            lambda s: fused_mod.prepare_scene_inputs(s, cfg, slabs.shape[0])
+        )(scenes)
+        bg_tex = scenes.background.tex_id % bgslabs.shape[0]
+        bg = scenes.background
+        bg_meta = jnp.stack(
+            [bg_tex.astype(jnp.int32), bg.warp.astype(jnp.int32),
+             bg.warp_slot.astype(jnp.int32)], axis=1,
+        )
+        bgm = jax.vmap(
+            lambda s: fused_mod._bg_meta_payload(s, cfg, atlas.shape[1],
+                                                 atlas.shape[2])
+        )(scenes)
+        return (count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges,
+                slabs, bgslabs, flow_init)
+
+    if "prep" in sections or "kernel" in sections:
+        report("scene sampling only", pipelined(sample_only, root, step))
+        report("sampling + all precompute", pipelined(prep_all, root, step,
+                                                      atlas))
+
+    if "kernel" in sections:
+        inputs = jax.block_until_ready(prep_all(root, step, atlas))
+        P, PBG, xs, ys = ps.resample_params(cfg.mode_spec, H, W)
+        for dl, label in (
+            (0, "megakernel dl0 (DMA in/out only)"),
+            (1, "megakernel dl1 (+bg resample+obj loop)"),
+            (2, "megakernel dl2 (+edge DMA+coverage)"),
+            (3, "megakernel dl3 (full)"),
+        ):
+            k = jax.jit(
+                lambda *a, _dl=dl: ps.scene_render_pallas(
+                    *a, spec_key=(P, PBG, xs, ys, H, W), use_aa=True,
+                    inverse_flow=False, emit_masks=False, debug_level=_dl,
+                )
+            )
+            report(label, pipelined(k, *inputs))
+
+    if "mode9" in sections:
+        from flowgen.warpfields import generator as warpgen
+        cfg9 = DataGenConfig(mode=9, batch_size=BATCH, seed=0)
+        bank_fn = jax.jit(
+            lambda r, s: warpgen.make_warp_bank(r, s, cfg9)
+        )
+        report("mode9 warp bank (1 field)", pipelined(bank_fn, root, step,
+                                                      steps=4))
+        bank = jax.block_until_ready(bank_fn(root, step))
+        aux_fn = jax.jit(warpgen.make_warp_aux)
+        report("mode9 warp aux", pipelined(aux_fn, bank, steps=4))
+        fn9 = flowgen.make_generate_fn(cfg9)
+        report("mode9 full step (pipelined, cached bank)",
+               pipelined(fn9, root, step, atlas))
+
+    print(f"total wall {time.perf_counter() - t0:.1f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
