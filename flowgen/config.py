@@ -330,12 +330,17 @@ class DataGenConfig:
     # free; the reference has no equivalent output.
     emit_masks: bool = False
     # Warp-field bank sizing (mode 9); see flowgen/warpfields/generator.py.
-    warp_fields_per_batch: int = 1
+    # Defaults give ~9x reuse per crop at 512x384/batch-32 (the reference
+    # serves each crop 3x from continuously-produced fields,
+    # WarpFields.cpp:516-538; tests/test_warpfields.py pins the reuse bound).
+    # Affordable because the bank composes through the banded Mosaic kernels
+    # on TPU (warpfields/pallas_fields.py), ~10x cheaper than dense gathers.
+    warp_fields_per_batch: int = 2
     # Regenerate the warp-crop bank every N steps (the reference amortizes its
     # expensive 1536^2 composed fields by reusing each crop 3x across a shared
     # queue, WarpFields.cpp:516-538; keying the bank by step//N is the
     # deterministic analog).
-    warp_bank_reuse_steps: int = 4
+    warp_bank_reuse_steps: int = 2
     max_objects: int = MAX_OBJECTS
     dtype: str = "float32"
     # Per-object windowed evaluation (bbox-culled coverage/blend/gather).

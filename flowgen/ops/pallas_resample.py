@@ -503,11 +503,13 @@ def resample_rows_f32(
 
 
 def _banded_lerp_rows(block_rows, u, n_tiles_scan: int, n_src_tiles: int,
-                      width_valid: float):
+                      width_valid: float, clamp_oob: bool = False):
     """Horizontal bilinear taps at per-element positions ``u`` over (R, cols)
     rows accessed via ``block_rows(base)`` -> (R, 128). Positions outside
     [0, width_valid-1] produce 0 (the displacement warps zero-pad, matching
-    applyWarpFieldToTexture's boundary, cpp:237-252)."""
+    applyWarpFieldToTexture's boundary, cpp:237-252) unless ``clamp_oob``
+    holds them at the edge value (the field self-composition's clamp
+    semantics, WarpFields.cpp:375-384)."""
     ok = (u >= 0.0) & (u <= width_valid - 1.0)
     uc = jnp.clip(u, 0.0, width_valid - 1.0)
     uf = jnp.floor(uc)
@@ -518,7 +520,8 @@ def _banded_lerp_rows(block_rows, u, n_tiles_scan: int, n_src_tiles: int,
         block_rows, u0, u1, n_tiles_scan,
         jnp.zeros(u.shape, jnp.float32), n_src_tiles,
     )
-    return jnp.where(ok, p0 + (p1 - p0) * fx, 0.0)
+    v = p0 + (p1 - p0) * fx
+    return v if clamp_oob else jnp.where(ok, v, 0.0)
 
 
 def displace_warp_in_kernel(
@@ -531,7 +534,7 @@ def displace_warp_in_kernel(
     tmp_ref,          # VMEM scratch (whE, ww) f32
     tmpT_ref,         # VMEM scratch (ww, round_up(whE, 128)) f32
     outT_ref,         # VMEM scratch (ww, round_up(wh, 128)) f32
-    x_scan: int = 3, y_scan: int = 3,
+    x_scan: int = 3, y_scan: int = 3, clamp_oob: bool = False,
 ):
     """Separable warp by a bounded smooth displacement field:
     ``out(p) = src(x + dx(p), y + dy(p))`` for |d| <= SLAB margin of the
@@ -551,7 +554,7 @@ def displace_warp_in_kernel(
         u_loc = u_frame - ex0.astype(jnp.float32)
         tmp_ref[:, xt * 128 : (xt + 1) * 128] = _banded_lerp_rows(
             lambda base: src_ref[:, pl.ds(base, 128)],
-            u_loc, x_scan, wwE // 128, float(wwE),
+            u_loc, x_scan, wwE // 128, float(wwE), clamp_oob,
         )
 
     # ---- pass 2 on the transpose: out[y, x] = lerp rows of tmp at v ----
@@ -581,7 +584,7 @@ def displace_warp_in_kernel(
                     lambda base, _xc=xc: tmpT_ref[
                         _xc * 128 : (_xc + 1) * 128, pl.ds(base, 128)
                     ],
-                    v_loc, y_scan, whEp // 128, float(whE),
+                    v_loc, y_scan, whEp // 128, float(whE), clamp_oob,
                 )
             )
     return outT_ref[:, :wh].T

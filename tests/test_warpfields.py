@@ -111,3 +111,38 @@ def test_mode9_end_to_end():
     assert np.isfinite(f).all()
     assert np.isfinite(np.asarray(out["image0"])).all()
     assert np.abs(f).max() < 600.0
+
+
+def test_crop_diversity_across_epoch():
+    """Reference-grade warp-crop diversity (VERDICT r2 #3): with the default
+    bank sizing, the average number of times one crop serves a warped entity
+    across a bank epoch stays <= 10 (the reference's continuously-produced
+    fields serve each crop ~3x, WarpFields.cpp:489, 516-538), and the slot
+    assignment actually spreads across the bank."""
+    from flowgen.params.sampler import sample_scene_batch
+
+    cfg = flowgen.DataGenConfig(mode=9, batch_size=32, width=W, height=H)
+    n_slots = warpgen.bank_size(cfg)
+    assert cfg.warp_fields_per_batch >= 2  # the diversity dial is ON
+
+    draws = []
+    for step in range(cfg.warp_bank_reuse_steps):
+        scenes = sample_scene_batch(
+            root_key(0),
+            jnp.arange(step * 32, (step + 1) * 32),
+            cfg,
+            n_warp_slots=n_slots,
+        )
+        ow = np.asarray(scenes.objects.warp & scenes.objects.valid)
+        slots = np.asarray(scenes.objects.warp_slot)[ow]
+        draws.append(slots)
+        bgw = np.asarray(scenes.background.warp)
+        draws.append(np.asarray(scenes.background.warp_slot)[bgw])
+    draws = np.concatenate(draws)
+
+    reuse = draws.size / n_slots
+    assert reuse <= 10.0, f"mean crop reuse {reuse:.1f} > 10"
+    # Uniform assignment: a healthy fraction of the bank is actually used
+    # (coupon-collector expectation at this draw count is ~1-exp(-reuse)).
+    frac_used = np.unique(draws).size / n_slots
+    assert frac_used > 0.8
