@@ -353,18 +353,21 @@ def _make_scene_kernel(
         for tx in range(-(-WB // ww))
     ]
 
+    MAXW = K * MAX_TILES
+
     def kernel(*refs):
-        (smeta_hbm, omi_hbm, omf_hbm, tmi_hbm, tmf_hbm, bgm_hbm, edges_hbm,
-         slabs_hbm, bgslabs_hbm, flow_hbm) = refs[:10]
-        i = 10
+        (smeta_hbm, omi_hbm, omf_hbm, tmi_hbm, tmf_hbm, bgm_hbm, wl_hbm,
+         edges_hbm, slabs_hbm, bgslabs_hbm, flow_hbm) = refs[:11]
+        i = 11
         if has_warp:
             aux_hbm = refs[i]; bgaux_hbm = refs[i + 1]; i += 2
         frames_out, flow_out = refs[i], refs[i + 1]; i += 2
         if emit_masks:
             ids_out = refs[i]; i += 1
-        (acc0, acc1, accf, smeta, omi, omf, tmi, tmf, bgm, edges_smem,
-         rows, t1, t1t, outt, cov_aa, cov_in, cov_area) = refs[i:i + 17]
-        i += 17
+        (acc0, acc1, accf, smeta, omi, omf, tmi, tmf, bgm, wl,
+         es0, es1, rows0, rows1, t1, t1t, outt,
+         cov_aa, cov_in, cov_area) = refs[i:i + 20]
+        i += 20
         if has_warp:
             (covE_aa, covE_in, covE_area, texE, igbuf, ivbuf,
              dtmp, dtmpT, frows, ft1,
@@ -385,6 +388,7 @@ def _make_scene_kernel(
             pltpu.make_async_copy(tmi_hbm.at[b], tmi, sems.at[6]),
             pltpu.make_async_copy(tmf_hbm.at[b], tmf, sems.at[7]),
             pltpu.make_async_copy(bgm_hbm.at[b], bgm, sems.at[0]),
+            pltpu.make_async_copy(wl_hbm.at[b], wl, sems.at[1]),
         ]
         for cp in loads:
             cp.start()
@@ -408,14 +412,34 @@ def _make_scene_kernel(
         def TMF(k, frame, t, field):
             return tmf[0, ((k * 2 + frame) * MAX_TILES + t) * TMF_SIZE + field]
 
+        def WL(frame, j):
+            # Flattened painter-order work list (k * MAX_TILES + t) per
+            # frame, built by compose/fused.prepare_scene_inputs.
+            return wl[0, frame * MAXW + j]
+
+        def NW(frame):
+            return smeta[0, 4 + K + frame]
+
+        def unit_kt(frame, j):
+            u = WL(frame, j)
+            k = u // MAX_TILES
+            return k, u - k * MAX_TILES
+
+        def tile_origin(k, frame, t):
+            y0 = pl.multiple_of(TMI(k, frame, t, TMI_Y0) & ~7, 8)
+            x0 = pl.multiple_of(TMI(k, frame, t, TMI_X0) & ~127, 128)
+            return y0, x0
+
         # (Background rendering runs below, after the shared helpers — all
         # paths, including mode 9, render and displace the background
         # in-kernel; see render_background().)
 
-        def coverage_into(k, frame, oy, ox, aa_ref, in_ref, area_ref, gh, gw):
+        def coverage_into(eref, k, frame, oy, ox, aa_ref, in_ref, area_ref,
+                          gh, gw):
             """Composite coverage over a (gh, gw) grid with frame-coord
             origin (oy, ox): exact-area polygons / analytic ellipses +
-            ordered screen algebra (cpp:591-646). Binary carried as f32."""
+            ordered screen algebra (cpp:591-646). Binary carried as f32.
+            ``eref``: this unit's (4, EP) SMEM edge-table buffer."""
             cxg = (
                 lax.broadcasted_iota(jnp.int32, (gh, gw), 1) + ox
             ).astype(jnp.float32) + 0.5
@@ -435,7 +459,7 @@ def _make_scene_kernel(
                 @pl.when(is_poly)
                 def _():
                     _area_accumulate_blocked(
-                        edges_smem, c * E, OMI(k, frame, OMI_NEDGES + c),
+                        eref, c * E, OMI(k, frame, OMI_NEDGES + c),
                         oy, ox, area_ref, gh, gw,
                     )
                     area = jnp.abs(area_ref[:])
@@ -562,7 +586,7 @@ def _make_scene_kernel(
             fdma = pltpu.make_async_copy(
                 aux_hbm.at[slot, ch, pl.ds(w0, PF), :],
                 frows.at[:PF, :W],
-                sems.at[1],
+                sems.at[6],
             )
             fdma.start()
             fdma.wait()
@@ -578,39 +602,77 @@ def _make_scene_kernel(
             coeffs = _two_pass_split(motion_scalars(k, frame))
             return sample_plane_affine(slot, ch, coeffs, y0, x0)
 
-        def do_tile(k, frame, t, acc_frame):
+        # ---- pipelined object units -------------------------------------
+        # The object pass runs one flat painter-order work list per frame
+        # (units = (object, tile)); unit j+1's edge-table and texture DMAs
+        # are issued into the OTHER buffer slot while unit j computes, so
+        # HBM traffic rides under the coverage/resample compute instead of
+        # serializing with it (the round-2 roofline residue). Slots are
+        # static (the unit loop is unrolled x2), so no scratch ref is ever
+        # dynamically indexed. DMA descriptors are recreated at wait time
+        # from the same SMEM scalars — the standard Pallas double-buffer
+        # idiom. Deforming units (mode 9, frame 1) keep their internal DMAs
+        # serial but still prefetch the NEXT unit's tables.
+
+        def edges_dma(k, frame, eref, sem):
+            return pltpu.make_async_copy(edges_hbm.at[b, k, frame], eref, sem)
+
+        def tex_dma_f0(k, t, rows_ref, sem):
+            y0, x0 = tile_origin(k, 0, t)
+            tid = OMI(k, 0, OMI_TEX)
+            sy = pl.multiple_of((SLAB_MARGIN + y0) & ~7, 8)
+            sx = pl.multiple_of((SLAB_MARGIN + x0) & ~127, 128)
+            return pltpu.make_async_copy(
+                slabs_hbm.at[tid, pl.ds(sy, wh), pl.ds(sx, ww)],
+                rows_ref.at[:wh, :ww],
+                sem,
+            )
+
+        def tex_dma_f1(k, t, rows_ref, sem):
+            y0, x0 = tile_origin(k, 1, t)
+            tid = OMI(k, 1, OMI_TEX)
+            coeffs = tuple(TMF(k, 1, t, j) for j in range(6))
+            w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, P, SHs)
+            dma = pltpu.make_async_copy(
+                slabs_hbm.at[tid, pl.ds(w0, P), :],
+                rows_ref.at[:P, :SWs],
+                sem,
+            )
+            return dma, coeffs, w0
+
+        def start_unit(frame, j, eref, rows_ref, sem_e, sem_t):
+            k, t = unit_kt(frame, j)
+            edges_dma(k, frame, eref, sem_e).start()
             if debug_level < 2:
                 return
-            y0 = pl.multiple_of(TMI(k, frame, t, TMI_Y0) & ~7, 8)
-            x0 = pl.multiple_of(TMI(k, frame, t, TMI_X0) & ~127, 128)
-            tid = OMI(k, frame, OMI_TEX)
+            if frame == 0:
+                tex_dma_f0(k, t, rows_ref, sem_t).start()
+            elif has_warp:
+                @pl.when(OMI(k, 1, OMI_WARP) == 0)
+                def _():
+                    tex_dma_f1(k, t, rows_ref, sem_t)[0].start()
+            else:
+                tex_dma_f1(k, t, rows_ref, sem_t)[0].start()
+
+        def compute_unit(frame, j, eref, rows_ref, sem_t, acc_frame):
+            """Unit j's compute; its DMAs were started by start_unit (same
+            slot) and are waited here at their use points."""
+            k, t = unit_kt(frame, j)
+            if debug_level < 2:
+                return
+            y0, x0 = tile_origin(k, frame, t)
             warping = (
-                (OMI(k, frame, OMI_WARP) != 0) if has_warp else None
+                (OMI(k, frame, OMI_WARP) != 0)
+                if (has_warp and frame == 1) else None
             )
 
             def standard():
-                # --- texture DMA first (overlaps the coverage compute) ---
+                coverage_into(eref, k, frame, y0, x0, cov_aa, cov_in,
+                              cov_area, wh, ww)
                 if frame == 0:
-                    sy = pl.multiple_of((SLAB_MARGIN + y0) & ~7, 8)
-                    sx = pl.multiple_of((SLAB_MARGIN + x0) & ~127, 128)
-                    tex_dma = pltpu.make_async_copy(
-                        slabs_hbm.at[tid, pl.ds(sy, wh), pl.ds(sx, ww)],
-                        rows.at[:wh, :ww],
-                        sems.at[1],
-                    )
-                    tex_dma.start()
+                    tex_dma = tex_dma_f0(k, t, rows_ref, sem_t)
                 else:
-                    coeffs = tuple(TMF(k, frame, t, j) for j in range(6))
-                    w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, P, SHs)
-                    tex_dma = pltpu.make_async_copy(
-                        slabs_hbm.at[tid, pl.ds(w0, P), :],
-                        rows.at[:P, :SWs],
-                        sems.at[1],
-                    )
-                    tex_dma.start()
-
-                coverage_into(k, frame, y0, x0, cov_aa, cov_in, cov_area,
-                              wh, ww)
+                    tex_dma, coeffs, w0 = tex_dma_f1(k, t, rows_ref, sem_t)
                 if debug_level < 3:
                     tex_dma.wait()
                     return
@@ -619,10 +681,10 @@ def _make_scene_kernel(
 
                 tex_dma.wait()
                 if frame == 0:
-                    tr, tg, tb = _unpack3f(rows[:wh, :ww])
+                    tr, tg, tb = _unpack3f(rows_ref[:wh, :ww])
                 else:
                     tr, tg, tb = resamp.resample_rows_in_kernel(
-                        rows, w0, coeffs, x0, y0, wh, ww, P,
+                        rows_ref, w0, coeffs, x0, y0, wh, ww, P,
                         t1, t1t, outt, xscan, yscan, sw=SWs,
                     )
                 blend_window(acc_frame, y0, x0, m, tr, tg, tb)
@@ -657,7 +719,7 @@ def _make_scene_kernel(
                         # Nonrigid flow: + forward field at the moved
                         # position, inside the frame (cpp:398-406). Additive
                         # after the overwrite, gated by the same mask.
-                        @pl.when(warping)
+                        @pl.when(OMI(k, frame, OMI_WARP) != 0)
                         def _():
                             slot = OMI(k, frame, OMI_SLOT)
                             inb = (
@@ -675,10 +737,7 @@ def _make_scene_kernel(
                                 + wfy * inb
                             )
 
-            if not has_warp:
-                standard()
-                return
-            if frame == 0:
+            if warping is None:
                 standard()
                 return
 
@@ -693,6 +752,7 @@ def _make_scene_kernel(
                 # and the affine-warped texture on an EXPANDED grid, then
                 # displace both through the inverse field via the separable
                 # two-pass (aux fields precomputed per bank epoch). ----
+                tid = OMI(k, frame, OMI_TEX)
                 slot = OMI(k, frame, OMI_SLOT)
                 ey0 = pl.multiple_of(
                     jnp.clip(y0 - WARP_EY, 0, H - whE) & ~7, 8
@@ -700,16 +760,16 @@ def _make_scene_kernel(
                 ex0 = jnp.clip(x0 - WARP_EX, 0, W - wwE)
                 ig_dma = pltpu.make_async_copy(
                     aux_hbm.at[slot, 0, pl.ds(ey0, whE), pl.ds(x0, ww)],
-                    igbuf, sems.at[3],
+                    igbuf, sems.at[4],
                 )
                 ig_dma.start()
                 iv_dma = pltpu.make_async_copy(
                     aux_hbm.at[slot, 1, pl.ds(y0, wh), pl.ds(x0, ww)],
-                    ivbuf, sems.at[4],
+                    ivbuf, sems.at[5],
                 )
                 iv_dma.start()
 
-                coverage_into(k, frame, ey0, ex0, covE_aa, covE_in,
+                coverage_into(eref, k, frame, ey0, ex0, covE_aa, covE_in,
                               covE_area, whE, wwE)
 
                 mm = motion_scalars(k, frame)  # motion_inv (flow slot, f1)
@@ -726,13 +786,13 @@ def _make_scene_kernel(
                         )
                         tdma = pltpu.make_async_copy(
                             slabs_hbm.at[tid, pl.ds(w0, P), :],
-                            rows.at[:P, :SWs],
-                            sems.at[1],
+                            rows_ref.at[:P, :SWs],
+                            sem_t,
                         )
                         tdma.start()
                         tdma.wait()
                         tr, tg, tb = resamp.resample_rows_in_kernel(
-                            rows, w0, coeffs, ox, oy, wh, ww, P,
+                            rows_ref, w0, coeffs, ox, oy, wh, ww, P,
                             t1, t1t, outt, xscan, yscan, sw=SWs,
                         )
                         texE[0, ly : ly + wh, lx : lx + ww] = tr
@@ -801,13 +861,13 @@ def _make_scene_kernel(
             )
             bdma = pltpu.make_async_copy(
                 bgslabs_hbm.at[btid, pl.ds(w0, PBG), :],
-                rows.at[:PBG, :SWb],
-                sems.at[1],
+                rows0.at[:PBG, :SWb],
+                sems.at[4],
             )
             bdma.start()
             bdma.wait()
             return resamp.resample_rows_in_kernel(
-                rows, w0, coeffs, jnp.int32(ox), jnp.int32(oy),
+                rows0, w0, coeffs, jnp.int32(ox), jnp.int32(oy),
                 wh, ww, PBG, t1, t1t, outt, xscan, yscan, sw=SWb,
             )
 
@@ -858,13 +918,13 @@ def _make_scene_kernel(
                     gdma = pltpu.make_async_copy(
                         bgaux_hbm.at[slot, 0, pl.ds(band0, whB),
                                      pl.ds(x0s, ww)],
-                        bggbuf, sems.at[3],
+                        bggbuf, sems.at[4],
                     )
                     gdma.start()
                     vdma = pltpu.make_async_copy(
                         bgaux_hbm.at[slot, 1, pl.ds(y0s + BG_EY, wh),
                                      pl.ds(x0s, ww)],
-                        ivbuf, sems.at[4],
+                        ivbuf, sems.at[5],
                     )
                     vdma.start()
                     gdma.wait()
@@ -924,30 +984,44 @@ def _make_scene_kernel(
         if debug_level >= 0:
             render_background()
 
-        def obj(i, _):
-            k = smeta[0, 1 + i]
-            for frame, acc_frame in ((0, acc0), (1, acc1)):
-                on = OMI(k, frame, OMI_ON) != 0
+        def frame_pass(frame, acc_frame):
+            """All of one frame's units in painter order, software-pipelined
+            over two static buffer slots (edges: es0/es1 + sems 0/1;
+            texture rows: rows0/rows1 + sems 2/3)."""
+            n = NW(frame)
+            slot_refs = (
+                (es0, rows0, sems.at[0], sems.at[2]),
+                (es1, rows1, sems.at[1], sems.at[3]),
+            )
 
-                @pl.when(on)
-                def _(frame=frame, acc_frame=acc_frame):
-                    edma = pltpu.make_async_copy(
-                        edges_hbm.at[b, k, frame], edges_smem, sems.at[0]
-                    )
-                    edma.start()
-                    edma.wait()
+            @pl.when(n > 0)
+            def _():
+                start_unit(frame, 0, *slot_refs[0])
 
-                    def tile(t, _):
-                        do_tile(k, frame, t, acc_frame)
-                        return 0
+            def body(i2, _):
+                j0 = i2 * 2
+                for h in (0, 1):
+                    j = j0 + h
+                    eref, rows_ref, sem_e, sem_t = slot_refs[h]
 
-                    nt = OMI(k, frame, OMI_NTY) * OMI(k, frame, OMI_NTX)
-                    lax.fori_loop(0, nt, tile, 0)
+                    @pl.when(j < n)
+                    def _(j=j, h=h, eref=eref, rows_ref=rows_ref,
+                          sem_e=sem_e, sem_t=sem_t):
+                        @pl.when(j + 1 < n)
+                        def _():
+                            start_unit(frame, j + 1, *slot_refs[1 - h])
 
-            return 0
+                        k, t = unit_kt(frame, j)
+                        edges_dma(k, frame, eref, sem_e).wait()
+                        compute_unit(frame, j, eref, rows_ref, sem_t,
+                                     acc_frame)
+                return 0
+
+            lax.fori_loop(0, (n + 1) // 2, body, 0)
 
         if debug_level >= 1:
-            lax.fori_loop(0, smeta[0, 0], obj, 0)
+            frame_pass(0, acc0)
+            frame_pass(1, acc1)
 
         # ---- store results ----
         stores = [
@@ -971,6 +1045,42 @@ def _pad128(n: int) -> int:
     return _round_up(n, 128)
 
 
+def build_worklists(count, order, omi):
+    """Flattened painter-order (object, tile) unit lists per frame, the
+    megakernel's pipelined iteration domain.
+
+    Returns ``(worklist (B, 2*K*MAX_TILES) i32, n_units (B, 2) i32)`` with
+    entries ``k * MAX_TILES + t``. A unit exists for every painter position
+    ``< count`` whose frame OMI_ON flag is set, tiles ``0..nty*ntx-1`` in
+    row-major order — exactly the units the nested object/tile loops of the
+    unpipelined kernel visited, in the same order (painter overwrite
+    semantics depend on it, cpp:740-774)."""
+    _, K = order.shape
+
+    def one(cnt, ord_, om):
+        t = jnp.arange(MAX_TILES)
+        jidx = jnp.arange(K)
+
+        def frame(f):
+            on = om[:, f, OMI_ON][ord_] != 0
+            nt = (om[:, f, OMI_NTY] * om[:, f, OMI_NTX])[ord_]
+            valid = (
+                (jidx[:, None] < cnt)
+                & on[:, None]
+                & (t[None, :] < nt[:, None])
+            ).reshape(-1)
+            val = (ord_[:, None] * MAX_TILES + t[None, :]).reshape(-1)
+            pos = jnp.argsort(~valid, stable=True)
+            return val[pos], jnp.sum(valid)
+
+        w0, n0 = frame(0)
+        w1, n1 = frame(1)
+        return jnp.concatenate([w0, w1]), jnp.stack([n0, n1])
+
+    wl, nw = jax.vmap(one)(count, order, omi)
+    return wl.astype(jnp.int32), nw.astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spec_key", "use_aa", "inverse_flow", "emit_masks",
@@ -978,7 +1088,7 @@ def _pad128(n: int) -> int:
 )
 def scene_render_pallas(
     count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges, slabs, bgslabs,
-    flow_init, warp_aux=None, bgaux=None,
+    flow_init, warp_aux=None, bgaux=None, worklist=None, n_units=None,
     *, spec_key, use_aa=True, inverse_flow=False, emit_masks=False,
     interpret=False, debug_level=3,
 ):
@@ -1039,18 +1149,26 @@ def scene_render_pallas(
         # sliced singly).
         return jnp.pad(x, ((0, 0), (0, 0), (0, width - x.shape[2])))
 
-    SM_LEN = _pad128(4 + K)
+    MAXW = K * MAX_TILES
+    if worklist is None:
+        # Painter-order fallback for callers that predate the pipelined
+        # work lists: every (in-order object, tile) pair, with per-unit
+        # validity re-derived in XLA from the same tables the kernel holds.
+        worklist, n_units = build_worklists(count, order, omi)
+    SM_LEN = _pad128(6 + K)
     smeta = flat(
         jnp.concatenate(
             [
                 count.reshape(B, 1),
                 order.astype(jnp.int32),
                 bg_meta.reshape(B, -1).astype(jnp.int32),
+                n_units.reshape(B, 2).astype(jnp.int32),
             ],
             1,
         ),
         SM_LEN,
     )
+    wl_f = flat(worklist.astype(jnp.int32), _pad128(2 * MAXW))
     omi_w = _pad128(K * 2 * OMI_SIZE)
     omf_w = _pad128(K * 2 * OMF_SIZE)
     tm_w = _pad128(K * 2 * MAX_TILES * TMI_SIZE)
@@ -1074,7 +1192,10 @@ def scene_render_pallas(
         pltpu.SMEM((1, tm_w), jnp.int32),
         pltpu.SMEM((1, tm_w), jnp.float32),
         pltpu.SMEM((1, bg_w), jnp.float32),
+        pltpu.SMEM((1, _pad128(2 * MAXW)), jnp.int32),
         pltpu.SMEM((4, EP), jnp.float32),
+        pltpu.SMEM((4, EP), jnp.float32),
+        pltpu.VMEM((Pmax, rows_w), jnp.int32),
         pltpu.VMEM((Pmax, rows_w), jnp.int32),
         pltpu.VMEM((3, Pmax, ww), jnp.float32),
         pltpu.VMEM((ww, Pp), jnp.float32),
@@ -1107,7 +1228,7 @@ def scene_render_pallas(
         scratch.append(pltpu.VMEM((2, H, W), jnp.int32))
     scratch.append(pltpu.SemaphoreType.DMA((8,)))
 
-    n_in = 10 + (2 if has_warp else 0)
+    n_in = 11 + (2 if has_warp else 0)
     n_out = 3 if emit_masks else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -1116,7 +1237,7 @@ def scene_render_pallas(
         out_specs=(any_spec,) * n_out,
         scratch_shapes=scratch,
     )
-    inputs = [smeta, omi_f, omf_f, tmi_f, tmf_f, bgm_f, edges, slabs,
+    inputs = [smeta, omi_f, omf_f, tmi_f, tmf_f, bgm_f, wl_f, edges, slabs,
               bgslabs, flow_init]
     if has_warp:
         inputs += [warp_aux, bgaux]
