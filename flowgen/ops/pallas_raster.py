@@ -29,6 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import raster as raster_mod
+
 
 def _area_accumulate(edges_ref, base, n_edges, px, py, area_ref):
     """Accumulate exact signed cell-area contributions of edge slots
@@ -222,15 +224,14 @@ def _make_object_window_kernel(wh, ww, use_aa, emit_flow, max_comps, max_edges):
                     ry_e = fmeta_ref[base + 7]
                     ux = (i00 * cx + i01 * cy + i02) / rx_e
                     uy = (i10 * cx + i11 * cy + i12) / ry_e
-                    r = jnp.sqrt(ux * ux + uy * uy)
-                    inside = r <= 1.0
-                    safe_r = jnp.maximum(r, 1e-6)
-                    gx = (i00 / rx_e) * (ux / safe_r) + (i10 / ry_e) * (uy / safe_r)
-                    gy = (i01 / rx_e) * (ux / safe_r) + (i11 / ry_e) * (uy / safe_r)
-                    gnorm = jnp.sqrt(gx * gx + gy * gy)
-                    sdf = (r - 1.0) / jnp.maximum(gnorm, 1e-9)
-                    aa_t[:] = jnp.clip(0.5 - sdf, 0.0, 1.0)
-                    in_t[:] = inside.astype(jnp.int32)
+                    # Reference 100-gon, chord-exact per pixel
+                    # (ops/raster.ellipse_chord_coverage).
+                    aa_e, in_e = raster_mod.ellipse_chord_coverage(
+                        ux, uy, i00 / rx_e, i01 / rx_e, i10 / ry_e,
+                        i11 / ry_e,
+                    )
+                    aa_t[:] = aa_e
+                    in_t[:] = in_e.astype(jnp.int32)
 
                 # Ordered composite screen algebra (cpp:591-646). Keep the
                 # binary accumulator in i32 — Mosaic cannot select i1 vectors.

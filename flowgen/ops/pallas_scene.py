@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_raster import _area_accumulate_blocked
 from . import pallas_resample as resamp
+from . import raster
 from ..config import BACKGROUND_OBJ_ID as BG_ID, FOREGROUND_ID_BASE as FG_ID_BASE
 
 # Window tile size: one VMEM-friendly unit of object evaluation.
@@ -469,6 +470,10 @@ def _make_scene_kernel(
 
                 @pl.when(jnp.logical_not(is_poly))
                 def _():
+                    # Fat ellipses: the reference's inscribed 100-gon, one
+                    # chord per pixel with exact half-plane cell area
+                    # (ops/raster.ellipse_chord_coverage; agg::ellipse
+                    # cpp:455-479, 1080).
                     base = OMF_ELL + c * 8
                     i00 = OMF(k, frame, base + 0)
                     i01 = OMF(k, frame, base + 1)
@@ -480,19 +485,11 @@ def _make_scene_kernel(
                     ry_e = OMF(k, frame, base + 7)
                     ux = (i00 * cxg + i01 * cyg + i02) / rx_e
                     uy = (i10 * cxg + i11 * cyg + i12) / ry_e
-                    r = jnp.sqrt(ux * ux + uy * uy)
-                    safe_r = jnp.maximum(r, 1e-6)
-                    gx = (i00 / rx_e) * (ux / safe_r) + (i10 / ry_e) * (
-                        uy / safe_r
+                    aa_e, in_e = raster.ellipse_chord_coverage(
+                        ux, uy, i00 / rx_e, i01 / rx_e, i10 / ry_e,
+                        i11 / ry_e,
                     )
-                    gy = (i01 / rx_e) * (ux / safe_r) + (i11 / ry_e) * (
-                        uy / safe_r
-                    )
-                    gnorm = jnp.sqrt(gx * gx + gy * gy)
-                    sdf = (r - 1.0) / jnp.maximum(gnorm, 1e-9)
-                    area_ref[:] = jnp.clip(0.5 - sdf, 0.0, 1.0) + jnp.where(
-                        r <= 1.0, 2.0, 0.0
-                    )
+                    area_ref[:] = aa_e + jnp.where(in_e, 2.0, 0.0)
 
                 # area_ref carries aa in the fractional part and the binary
                 # bit at +2 (one scratch, one pl.when pair).

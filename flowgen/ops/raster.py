@@ -25,19 +25,23 @@ edge direction, so a doubly-wound region accumulates area 2 and clips to 1,
 and opposite windings cancel — exactly AGG's ``fill_non_zero`` alpha rule.
 
 Polygons arrive pre-flattened to ``MAX_EDGES`` points (see
-params/sampler.flatten_outline). Ellipses are handled analytically in closed
-form via a signed-distance ramp — the reference approximates them as 100-gons
-(agg::ellipse with 100 steps, cpp:1080) and then area-rasterizes those; for
-well-conditioned ellipses the two agree to a few percent on edge pixels only.
-Thin "needle" ellipses (whose sub-pixel width an SDF ramp cannot measure) are
-flattened to the reference's literal 100-gon at sampling time and take the
-exact-area polygon path (params/sampler.py).
+params/sampler.flatten_outline). Ellipses replicate the reference's actual
+geometry — the inscribed 100-gon (agg::ellipse with 100 steps, cpp:1080) —
+at O(1) per pixel: each pixel snaps its parameter angle to the gon chord of
+its sector and takes that chord's EXACT half-plane cell area in screen space
+(ellipse_chord_coverage), agreeing with the full 100-edge rasterization
+everywhere except vertex-containing cells (sub-3% corner slivers). Thin
+"needle" ellipses (whose sub-pixel width spans whole cells) are flattened to
+the literal 100-gon at sampling time and take the exact-area polygon path
+(params/sampler.py).
 
 All functions return ``(aa, inside)`` where ``aa`` is float coverage in [0,1]
 and ``inside`` the binary mask, both shaped like the pixel grid.
 """
 
 from __future__ import annotations
+
+import math
 
 import jax.numpy as jnp
 
@@ -125,32 +129,109 @@ def polygon_coverage(edge_pts, px, py):
     return aa.reshape(shape), (area >= 0.5).reshape(shape)
 
 
+def halfplane_cell_coverage(d, nx, ny):
+    """Exact area of the unit pixel cell inside the half-plane
+    ``{p : n . (p - center) <= -d}`` — i.e. ``d`` is the signed distance of
+    the cell CENTER from the boundary line, positive outside, and (nx, ny)
+    the unit outward normal. Closed form (piecewise quadratic in d),
+    branch-free."""
+    a1 = jnp.abs(nx)
+    b1 = jnp.abs(ny)
+    lo = jnp.minimum(a1, b1)
+    hi = jnp.maximum(a1, b1)
+    t = jnp.clip((a1 + b1) * 0.5 - d, 0.0, lo + hi)
+    denom = jnp.maximum(2.0 * lo * hi, 1e-9)
+    quad_lo = t * t / denom
+    lin = (t - 0.5 * lo) / jnp.maximum(hi, 1e-9)
+    quad_hi = 1.0 - (hi + lo - t) * (hi + lo - t) / denom
+    aa = jnp.where(t <= lo, quad_lo, jnp.where(t >= hi, quad_hi, lin))
+    return jnp.clip(aa, 0.0, 1.0)
+
+
+def _sector_center_dir(ux, uy, steps: int):
+    """Unit direction of the center of the ``2*pi/steps`` angular sector
+    containing ``(ux, uy)`` (scale-invariant; no normalization needed).
+
+    Trig-free — Mosaic kernels share this code with the XLA path and the
+    TPU lowering has no vector atan2/sincos, so the sector is found by a
+    quadrant fold plus a binary search over power-of-two sector rotations
+    with PRECOMPUTED (Python-constant) cos/sin: pure FMA + select work, and
+    bit-identical sector choices across both paths. ``steps`` must be a
+    multiple of 4 (quadrant fold lands on sector boundaries)."""
+    assert steps % 4 == 0
+    delta = 2.0 * math.pi / steps
+    q = steps // 4  # sectors per quadrant
+    c = jnp.abs(ux)
+    s = jnp.abs(uy)
+    nx = jnp.full_like(c, math.cos(delta / 2.0))
+    ny = jnp.full_like(c, math.sin(delta / 2.0))
+    a = (1 << ((q - 1).bit_length() - 1)) if q > 1 else 0
+    while a >= 1:
+        ca = math.cos(a * delta)
+        sa = math.sin(a * delta)
+        # angle(c, s) >= a*delta? Then rotate (c, s) down and (nx, ny) up.
+        pred = s * ca - c * sa >= 0.0
+        c, s = (
+            jnp.where(pred, c * ca + s * sa, c),
+            jnp.where(pred, s * ca - c * sa, s),
+        )
+        nx, ny = (
+            jnp.where(pred, nx * ca - ny * sa, nx),
+            jnp.where(pred, ny * ca + nx * sa, ny),
+        )
+        a >>= 1
+    nx = jnp.where(ux >= 0.0, nx, -nx)
+    ny = jnp.where(uy >= 0.0, ny, -ny)
+    return nx, ny
+
+
+def ellipse_chord_coverage(ux, uy, jxx, jxy, jyx, jyy, steps: int = 100):
+    """Per-pixel coverage of the reference's inscribed ``steps``-gon of the
+    unit circle, in normalized ellipse coordinates ``(ux, uy)`` whose
+    (constant) screen Jacobian is ``[[jxx, jxy], [jyx, jyy]]``.
+
+    AGG flattens every ellipse to a 100-step polygon and area-rasterizes it
+    (agg::ellipse, MovingObjectEllipse::renderMasks, cpp:455-479, 1080). Per
+    pixel only the chord whose angular sector contains the pixel matters, so
+    instead of accumulating 100 edges we snap the pixel's parameter angle to
+    its chord and compute the EXACT cell area of that chord's half-plane in
+    screen space — identical to the 100-gon's area except at the ~1/3 of
+    edge pixels containing a gon vertex, where the single-chord
+    approximation is off by at most the 3.6-deg corner sliver (<~3% of a
+    cell, typically far less). Binary: half-plane at the cell center, AGG's
+    gamma_threshold(0.5) of the same coverage.
+
+    Returns (aa, inside)."""
+    nx_u, ny_u = _sector_center_dir(ux, uy, steps)
+    coshalf = math.cos(math.pi / steps)
+    # Chord line in normalized coords: n . u = cos(delta/2); its screen-space
+    # gradient is J^T n.
+    a = nx_u * jxx + ny_u * jyx
+    b = nx_u * jxy + ny_u * jyy
+    norm = jnp.maximum(jnp.sqrt(a * a + b * b), 1e-9)
+    l = nx_u * ux + ny_u * uy - coshalf
+    d = l / norm
+    aa = halfplane_cell_coverage(d, a / norm, b / norm)
+    return aa, l <= 0.0
+
+
 def ellipse_coverage(transform, rx, ry, px, py):
     """Coverage of an ellipse (radii rx, ry about the local origin) under an
-    affine ``transform`` (local -> screen), evaluated analytically.
+    affine ``transform`` (local -> screen).
 
-    The reference draws ellipses as 100-step polygons (agg::ellipse,
-    MovingObjectEllipse::renderMasks, cpp:459-479); the analytic conic is the
-    smooth limit of that approximation. Inside test: |S^-1 p| <= 1 where S maps
-    the unit circle to the screen-space ellipse. AA: a signed-distance ramp,
-    first-order estimate (|u| - 1) / |grad|, which matches exact area to a few
-    percent on edge pixels of well-conditioned ellipses (thin needles take the
-    exact polygon path instead — see params/sampler.py).
+    Matches the reference's actual geometry — the inscribed 100-gon
+    (agg::ellipse with 100 steps, cpp:1080) — via the per-pixel chord
+    half-plane exact cell area (:func:`ellipse_chord_coverage`); sub-pixel
+    "needle" ellipses still take the full exact-area polygon path (flattened
+    at sampling time, params/sampler.py) because their entire width sits
+    inside single cells where a single chord cannot measure area.
     """
     inv = affine.invert(transform)
     ux = (inv[0, 0] * px + inv[0, 1] * py + inv[0, 2]) / rx
     uy = (inv[1, 0] * px + inv[1, 1] * py + inv[1, 2]) / ry
-    r = jnp.sqrt(ux * ux + uy * uy)
-    inside = r <= 1.0
-
-    # Gradient of r(p) in screen space: J^T u_hat with J = d(u)/d(p).
-    safe_r = jnp.maximum(r, 1e-6)
-    gx = (inv[0, 0] / rx) * (ux / safe_r) + (inv[1, 0] / ry) * (uy / safe_r)
-    gy = (inv[0, 1] / rx) * (ux / safe_r) + (inv[1, 1] / ry) * (uy / safe_r)
-    gnorm = jnp.sqrt(gx * gx + gy * gy)
-    sdf = (r - 1.0) / jnp.maximum(gnorm, 1e-9)
-    aa = jnp.clip(0.5 - sdf, 0.0, 1.0)
-    return aa, inside
+    return ellipse_chord_coverage(
+        ux, uy, inv[0, 0] / rx, inv[0, 1] / rx, inv[1, 0] / ry, inv[1, 1] / ry
+    )
 
 
 def combine_additive(acc_aa, acc_in, aa, inside):

@@ -270,18 +270,37 @@ def make_generate_fn(cfg: DataGenConfig, mesh=None):
     bank_fn = jax.jit(functools.partial(warpgen.make_warp_bank, cfg=cfg))
     aux_fn = jax.jit(warpgen.make_warp_aux)
     fused = use_fused_path(cfg)
+    reuse = max(cfg.warp_bank_reuse_steps, 1)
     cache = {}
 
     def fn(root, step, atlas):
-        epoch = int(step) // max(cfg.warp_bank_reuse_steps, 1)
+        epoch = int(step) // reuse
         if cache.get("epoch") != epoch:
-            cache["bank"] = bank_fn(root, jnp.int32(step))
-            cache["aux"] = aux_fn(cache["bank"]) if fused else None
+            if cache.get("next_epoch") == epoch:
+                # Pre-dispatched at the previous epoch's tail — the device
+                # already worked through it behind the generation steps.
+                cache["bank"] = cache.pop("next_bank")
+                cache["aux"] = cache.pop("next_aux")
+                del cache["next_epoch"]
+            else:
+                cache["bank"] = bank_fn(root, jnp.int32(step))
+                cache["aux"] = aux_fn(cache["bank"]) if fused else None
             cache["epoch"] = epoch
-        return gen(
+        out = gen(
             root, jnp.int32(step), packed(atlas), warp_bank=cache["bank"],
             slabs=slab_of(packed(atlas)), warp_aux=cache["aux"],
         )
+        # Sequential-consumption prefetch: on the epoch's last step, dispatch
+        # the NEXT epoch's bank+aux asynchronously so the epoch boundary
+        # costs no pipeline bubble (the deterministic analog of the
+        # reference's always-running producer threads, WarpFields.cpp:489).
+        # A seek elsewhere just wastes the prediction; results stay exact.
+        if int(step) % reuse == reuse - 1 and cache.get("next_epoch") != epoch + 1:
+            nb = bank_fn(root, jnp.int32((epoch + 1) * reuse))
+            cache["next_bank"] = nb
+            cache["next_aux"] = aux_fn(nb) if fused else None
+            cache["next_epoch"] = epoch + 1
+        return out
 
     return fn
 

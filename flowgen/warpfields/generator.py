@@ -61,103 +61,161 @@ def make_warp_bank(root, step, cfg: DataGenConfig,
     origins = crop_origins(W, H)
     if impl is None:
         impl = "pallas" if _pallas_enabled(cfg) else "xla"
-    if impl == "pallas":
-        from .pallas_fields import make_big_field_pallas as field_builder
-    else:
-        field_builder = fields.make_big_field
 
     bank_epoch = step // max(cfg.warp_bank_reuse_steps, 1)
+    keys = [
+        stream_key(jax.random.fold_in(root, bank_epoch), Stream.WARP_FIELD, i)
+        for i in range(cfg.warp_fields_per_batch)
+    ]
 
-    def one_field(i):
-        key = stream_key(jax.random.fold_in(root, bank_epoch), Stream.WARP_FIELD, i)
-        flow, iflow = field_builder(key, big)
-        crops_f = jnp.stack([flow[y : y + H, x : x + W] for (x, y) in origins])
-        crops_i = jnp.stack([iflow[y : y + H, x : x + W] for (x, y) in origins])
-        return crops_f, crops_i
+    if impl == "pallas":
+        # All fields (and both directions each) compose through shared
+        # banded-kernel launches — the launch overhead that dominates the
+        # per-field cost amortizes 2F-fold.
+        from .pallas_fields import make_big_fields_pallas
 
-    banks = [one_field(i) for i in range(cfg.warp_fields_per_batch)]
-    flow = jnp.concatenate([b[0] for b in banks])
-    iflow = jnp.concatenate([b[1] for b in banks])
+        flows, iflows = make_big_fields_pallas(keys, big)
+    else:
+        pairs = [fields.make_big_field(k, big) for k in keys]
+        flows = jnp.stack([p[0] for p in pairs])
+        iflows = jnp.stack([p[1] for p in pairs])
+
+    flow = jnp.concatenate(
+        [jnp.stack([f[y : y + H, x : x + W] for (x, y) in origins])
+         for f in flows]
+    )
+    iflow = jnp.concatenate(
+        [jnp.stack([f[y : y + H, x : x + W] for (x, y) in origins])
+         for f in iflows]
+    )
     return WarpBank(flow=flow, iflow=iflow)
 
 
-def _column_inverse_gdisp(D, n_iter: int = 4, coarse: int = 4):
-    """Pass-1 x-displacement with the column-inverse correction for a
-    displacement field ``D`` (Hh, W, 2) in plane-row units:
+def _gdisp_xla(D, n_iter: int = 4, coarse: int = 4):
+    """Pass-1 x-displacements with the column-inverse correction for a batch
+    of displacement fields ``D`` (N, Hh, W, 2) in plane-row units:
     gdisp(x, w) = D_x(x, y*) where y* solves w = y + D_y(x, y)
     (fixed point; |d D_y/dy| < 1 for the bank's composed diffeomorphisms,
     so a few iterations converge to sub-0.1 px).
 
-    The fixed point runs on a ``coarse``-downsampled grid (the composed
-    fields are sigma~50 px smooth, so the column inverse is accurately
-    bilinear-upsampled) — ~16x fewer gathers than a full-resolution solve."""
+    XLA gather fallback for CPU runs: the fixed point runs on a ``coarse``-
+    downsampled grid (the composed fields are sigma~50 px smooth, so the
+    column inverse is accurately bilinear-upsampled) — ~16x fewer gathers
+    than a full-resolution solve; the upsample back is interleaved dyadic
+    midpoints (exactly clamped bilinear at quarter-lattice points)."""
     from ..ops import texture as tex_mod
+    from .pallas_fields import _upsample2_plane
 
-    Hh, Ww = D.shape[0], D.shape[1]
-    dx = D[..., 0:1]
-    dy_p = D[..., 1:2]
-    hc, wc = Hh // coarse, Ww // coarse
-    yy, xx = jnp.meshgrid(
-        jnp.arange(hc, dtype=jnp.float32) * coarse,
-        jnp.arange(wc, dtype=jnp.float32) * coarse,
-        indexing="ij",
-    )
-    y = yy
-    for _ in range(n_iter):
-        d = tex_mod.sample_bilinear(dy_p, xx, y, wrap="clamp")[..., 0]
-        y = yy - d
-    gd = tex_mod.sample_bilinear(dx, xx, y, wrap="clamp")[..., 0]
-    yyf, xxf = jnp.meshgrid(
-        jnp.arange(Hh, dtype=jnp.float32) / coarse,
-        jnp.arange(Ww, dtype=jnp.float32) / coarse,
-        indexing="ij",
-    )
-    return tex_mod.sample_bilinear(gd[..., None], xxf, yyf, wrap="clamp")[
-        ..., 0
-    ]
+    def one(Dk):
+        Hh, Ww = Dk.shape[0], Dk.shape[1]
+        hc, wc = Hh // coarse, Ww // coarse
+        yy, xx = jnp.meshgrid(
+            jnp.arange(hc, dtype=jnp.float32) * coarse,
+            jnp.arange(wc, dtype=jnp.float32) * coarse,
+            indexing="ij",
+        )
+        y = yy
+        for _ in range(n_iter):
+            d = tex_mod.sample_bilinear(Dk[..., 1:2], xx, y,
+                                        wrap="clamp")[..., 0]
+            y = yy - d
+        return tex_mod.sample_bilinear(Dk[..., 0:1], xx, y,
+                                       wrap="clamp")[..., 0]
+
+    gd = jax.vmap(one)(D)
+    for _ in range(coarse.bit_length() - 1):
+        gd = _upsample2_plane(gd)
+    return gd
 
 
-def make_warp_aux(bank: WarpBank, n_iter: int = 4, coarse: int = 4):
+def _half_offset_expand(p, axis: int, c0: int, n_pairs: int):
+    """Clamped linear sampling of ``p`` along ``axis`` (>= 0) at the x2
+    zoom-out lattice ``pos_j = c0 + j/2 + 0.75`` for j = 0..2*n_pairs-1
+    (fractional parts alternate 0.75 / 0.25) — static slices + lerps, no
+    gathers."""
+    n = p.shape[axis]
+    lo, hi = c0, c0 + n_pairs + 2
+    if lo < 0 or hi > n:
+        pw = [(0, 0)] * p.ndim
+        pw[axis] = (max(-lo, 0), max(hi - n, 0))
+        p = jnp.pad(p, pw, mode="edge")
+        c0 += max(-lo, 0)
+
+    def sl(s):
+        idx = [slice(None)] * p.ndim
+        idx[axis] = slice(s, s + n_pairs)
+        return p[tuple(idx)]
+
+    a, b, c = sl(c0), sl(c0 + 1), sl(c0 + 2)
+    even = 0.25 * a + 0.75 * b
+    odd = 0.75 * b + 0.25 * c
+    out = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(p.shape)
+    shape[axis] = 2 * n_pairs
+    return out.reshape(shape)
+
+
+def bg_upscale(iflow, bg_ey: int):
+    """The background's x2-upscaled displacement fields on the extended
+    frame grid: ``D(y, x) = 2 * iflow((x + W/2 + .5)/2 - .5,
+    (y + H/2 + .5)/2 - .5)`` for rows y in [-bg_ey, H + bg_ey) (the crop
+    applied x2 in size and magnitude, cpp:1194-1202). The sample lattice is
+    axis-aligned with stride 1/2 and quarter-pixel offsets, so it reduces to
+    two interleaved slice-lerps per axis — no gathers. Requires H, W
+    multiples of 4 and even ``bg_ey`` (DataGenConfig validates the frame
+    geometry). ``iflow``: (N, H, W, 2) -> (N, H + 2*bg_ey, W, 2)."""
+    H, W = iflow.shape[1], iflow.shape[2]
+    rows = _half_offset_expand(iflow, 1, H // 4 - bg_ey // 2 - 1,
+                               (H + 2 * bg_ey) // 2)
+    return 2.0 * _half_offset_expand(rows, 2, W // 4 - 1, W // 2)
+
+
+def make_warp_aux(bank: WarpBank, n_iter: int | None = None,
+                  coarse: int = 4, use_pallas: bool | None = None,
+                  interpret: bool = False):
     """Preprocess a crop bank for the scene megakernel's separable
     displacement warps. Returns ``(obj_aux, bg_aux)``:
 
     ``obj_aux`` (N, 4, H, W) f32:
       [0] gdisp — column-inverse-corrected pass-1 x-displacement of the
-          inverse field (see :func:`_column_inverse_gdisp`),
+          inverse field (coarse fixed-point solve + interleaved upsample),
       [1] vdisp — iflow_y (pass-2 y-displacement),
       [2],[3] — the forward field (flow lookups at moved positions,
           getPointFlow cpp:398-406), NaN-scrubbed.
 
     ``bg_aux`` (N, 2, H + 2*BG_EY, W) f32: the same [gdisp, vdisp] pair for
-    the BACKGROUND's x2-upscaled inverse field (the crop applied x2 in size
-    and magnitude, cpp:1194-1202), evaluated on the extended frame grid
-    (rows -BG_EY .. H+BG_EY) that the in-kernel bg displacement reads.
+    the BACKGROUND's x2-upscaled inverse field (see :func:`bg_upscale`),
+    evaluated on the extended frame grid (rows -BG_EY .. H+BG_EY) that the
+    in-kernel bg displacement reads.
 
-    Amortized per bank epoch like the bank itself (the only gathers left on
-    the mode-9 hot path)."""
-    from ..ops import texture as tex_mod
+    Amortized per bank epoch like the bank itself. On TPU
+    (``use_pallas=None`` follows the backend) the whole preprocess is
+    gather-free: the column-inverse solve runs as a banded Mosaic kernel
+    over the coarse transposed planes (pallas_fields.coarse_gdisp_batch)
+    and every resample is an interleaved slice-lerp; the CPU fallback keeps
+    XLA gathers for the coarse solve only."""
     from ..ops.pallas_scene import BG_EY
+    from . import pallas_fields as pf
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
 
     iflow = jnp.nan_to_num(bank.iflow)
     flow = jnp.nan_to_num(bank.flow)
+    D_bg = bg_upscale(iflow, BG_EY)
 
-    def one(iflo):
-        gd = _column_inverse_gdisp(iflo, n_iter, coarse)
-        return jnp.stack([gd, iflo[..., 1]], 0)
+    if use_pallas or interpret:
+        solve = lambda D: pf.coarse_gdisp_batch(D, stride=coarse,
+                                                n_iter=n_iter or 8,
+                                                interpret=interpret)
+    else:
+        solve = lambda D: _gdisp_xla(D, n_iter or 4, coarse)
 
-    def one_bg(iflo):
-        H, W = iflo.shape[0], iflo.shape[1]
-        ys = jnp.arange(-BG_EY, H + BG_EY, dtype=jnp.float32)
-        xs = jnp.arange(W, dtype=jnp.float32)
-        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-        u = (xx + W / 2.0 + 0.5) / 2.0 - 0.5
-        v = (yy + H / 2.0 + 0.5) / 2.0 - 0.5
-        D = 2.0 * tex_mod.sample_bilinear(iflo, u, v, wrap="clamp")
-        gd = _column_inverse_gdisp(D, n_iter, coarse)
-        return jnp.stack([gd, D[..., 1]], 0)
-
-    aux01 = jax.vmap(one)(iflow)                    # (N, 2, H, W)
-    wf = jnp.moveaxis(flow, -1, 1)                  # (N, 2, H, W)
-    obj_aux = jnp.concatenate([aux01, wf], axis=1)
-    bg_aux = jax.vmap(one_bg)(iflow)                # (N, 2, H+2*BG_EY, W)
+    gd = solve(iflow)                               # (N, H, W)
+    obj_aux = jnp.concatenate(
+        [gd[:, None], iflow[..., 1][:, None], jnp.moveaxis(flow, -1, 1)],
+        axis=1,
+    )
+    gd_bg = solve(D_bg)                             # (N, H+2*BG_EY, W)
+    bg_aux = jnp.stack([gd_bg, D_bg[..., 1]], axis=1)
     return obj_aux, bg_aux

@@ -52,70 +52,87 @@ def _round_up(x, m):
 # ---------------------------------------------------------------------------
 
 
-def _coarse_solve_kernel(dyT_ref, dxT_ref, gdT_ref, *, Sc, Scp, n_iter,
+def _coarse_solve_kernel(dyT_ref, dxT_ref, gdT_ref, *, R, Lv, Lp, n_iter,
                         scan):
     """gdT[x, w] = dxT[x, y*] where w = y* + dyT[x, y*] (values in LATTICE
-    units for dyT; dxT carries the output's units). All (Sc, Scp) with the
-    lane axis = the y/w lattice."""
-    for xt in range(Scp // 128):
+    units for dyT; dxT carries the output's units). All (1, R, Lp) blocks
+    with the lane axis = the y/w lattice (``Lv`` valid lanes)."""
+    for xt in range(Lp // 128):
         wpos = (
-            lax.broadcasted_iota(jnp.int32, (Sc, 128), 1) + xt * 128
+            lax.broadcasted_iota(jnp.int32, (R, 128), 1) + xt * 128
         ).astype(jnp.float32)
-        d = jnp.zeros((Sc, 128), jnp.float32)
+        d = jnp.zeros((R, 128), jnp.float32)
         for _ in range(n_iter):
             d = resamp._banded_lerp_rows(
-                lambda base: dyT_ref[:, pl.ds(base, 128)],
-                wpos - d, scan, Scp // 128, float(Sc), True,
+                lambda base: dyT_ref[0, :, pl.ds(base, 128)],
+                wpos - d, scan, Lp // 128, float(Lv), True,
             )
-        gdT_ref[:, xt * 128 : (xt + 1) * 128] = resamp._banded_lerp_rows(
-            lambda base: dxT_ref[:, pl.ds(base, 128)],
-            wpos - d, scan, Scp // 128, float(Sc), True,
+        gdT_ref[0, :, xt * 128 : (xt + 1) * 128] = resamp._banded_lerp_rows(
+            lambda base: dxT_ref[0, :, pl.ds(base, 128)],
+            wpos - d, scan, Lp // 128, float(Lv), True,
         )
 
 
-def coarse_gdisp(D, stride=COARSE, n_iter=SOLVE_ITERS, interpret=False):
-    """Column-inverse-corrected pass-1 x-displacement for a displacement
-    field ``D`` (S, S, 2) in pixels: returns gdisp (S, S) f32 —
-    gdisp(x, w) = D_x(x, y*), w = y* + D_y(x, y*) — via a coarse transposed
-    solve + interleaved upsample. Zero hardware gathers."""
-    S = D.shape[0]
-    Sc = S // stride
-    Scp = _round_up(Sc, 128)
-    Dc = D[::stride, ::stride]
-    pad = ((0, 0), (0, Scp - Sc))
-    # Lattice units along the lane axis; edge-pad (clamped lookups).
-    dyT = jnp.pad(Dc[..., 1].T / stride, pad, mode="edge")
-    dxT = jnp.pad(Dc[..., 0].T, pad, mode="edge")
+def coarse_gdisp_batch(D, stride=COARSE, n_iter=SOLVE_ITERS,
+                       interpret=False):
+    """Column-inverse-corrected pass-1 x-displacement for a batch of
+    displacement fields ``D`` (N, Hd, Wd, 2) in pixels: returns gdisp
+    (N, Hd, Wd) f32 — gdisp(x, w) = D_x(x, y*), w = y* + D_y(x, y*) — via a
+    coarse transposed banded solve (one grid program per field) + interleaved
+    dyadic upsample. Zero hardware gathers. Hd/Wd must be multiples of
+    ``stride`` (a power of two)."""
+    N, Hd, Wd = D.shape[0], D.shape[1], D.shape[2]
+    Hc, Wc = Hd // stride, Wd // stride
+    Hcp = _round_up(Hc, 128)
+    Dc = D[:, ::stride, ::stride]
+    pad = ((0, 0), (0, 0), (0, Hcp - Hc))
+    # Lattice units along the lane axis; pad lanes (never read: lookups
+    # clamp at Lv-1).
+    dyT = jnp.pad(jnp.swapaxes(Dc[..., 1], 1, 2) / stride, pad)
+    dxT = jnp.pad(jnp.swapaxes(Dc[..., 0], 1, 2), pad)
     dmax_lat = 64.0 / stride  # |D| bound (2x the crop bound, bg fields)
     scan = int((2 * dmax_lat + 131) // 128) + 1
     gdT = pl.pallas_call(
         functools.partial(
-            _coarse_solve_kernel, Sc=Sc, Scp=Scp, n_iter=n_iter, scan=scan
+            _coarse_solve_kernel, R=Wc, Lv=Hc, Lp=Hcp, n_iter=n_iter,
+            scan=scan,
         ),
-        out_shape=jax.ShapeDtypeStruct((Sc, Scp), jnp.float32),
+        grid=(N,),
+        out_shape=jax.ShapeDtypeStruct((N, Wc, Hcp), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Wc, Hcp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, Wc, Hcp), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, Wc, Hcp), lambda i: (i, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
         interpret=interpret,
     )(dyT, dxT)
-    gd = gdT[:, :Sc].T
+    gd = jnp.swapaxes(gdT[..., :Hc], 1, 2)
     for _ in range(stride.bit_length() - 1):
         gd = _upsample2_plane(gd)
     return gd
 
 
+def coarse_gdisp(D, stride=COARSE, n_iter=SOLVE_ITERS, interpret=False):
+    """Single-field wrapper over :func:`coarse_gdisp_batch` for (S, S, 2)."""
+    return coarse_gdisp_batch(D[None], stride, n_iter, interpret)[0]
+
+
 def _upsample2_plane(p):
-    """x2 bilinear upsample of (h, w) by interleaving values and midpoints
-    (node i of the fine lattice = i/2 on the coarse one) — no gathers."""
-    nxt = jnp.concatenate([p[1:], p[-1:]], axis=0)
-    rows = jnp.stack([p, (p + nxt) * 0.5], axis=1).reshape(
-        2 * p.shape[0], p.shape[1]
+    """x2 bilinear upsample of (..., h, w) by interleaving values and
+    midpoints (node i of the fine lattice = i/2 on the coarse one, edge
+    replication past the last node — identical to clamped bilinear sampling
+    at half-integer lattice coordinates) — no gathers."""
+    h, w = p.shape[-2], p.shape[-1]
+    nxt = jnp.concatenate([p[..., 1:, :], p[..., -1:, :]], axis=-2)
+    rows = jnp.stack([p, (p + nxt) * 0.5], axis=-2).reshape(
+        *p.shape[:-2], 2 * h, w
     )
-    nxtc = jnp.concatenate([rows[:, 1:], rows[:, -1:]], axis=1)
-    return jnp.stack([rows, (rows + nxtc) * 0.5], axis=2).reshape(
-        rows.shape[0], 2 * p.shape[1]
+    nxtc = jnp.concatenate([rows[..., 1:], rows[..., -1:]], axis=-1)
+    return jnp.stack([rows, (rows + nxtc) * 0.5], axis=-1).reshape(
+        *p.shape[:-2], 2 * h, 2 * w
     )
 
 
@@ -167,34 +184,48 @@ def _hwarp_rows(planes, disp, interpret=False):
     )(planes, disp)
 
 
-def displace_planes(srcs, gd, vd, interpret=False):
-    """``out_c(x, y) = src_c(x + gd(x, y), y + vd(x, y))`` over (C, S, S)
-    planes sharing one displacement — the lookup half of one composition
-    doubling. ``gd``: the column-inverse-corrected pass-1 x-displacement
-    (indexed at (col, intermediate row)); ``vd``: the pass-2 y-displacement
+def displace_planes_batch(srcs, gd, vd, interpret=False):
+    """``out_mc(x, y) = src_mc(x + gd_m(x, y), y + vd_m(x, y))`` over
+    (M, C, S, S) planes, each field m sharing one displacement — the lookup
+    half of one composition doubling for M independent fields at once.
+    ``gd``: the column-inverse-corrected pass-1 x-displacements (M, S, S)
+    (indexed at (col, intermediate row)); ``vd``: the pass-2 y-displacements
     at output pixels. Positions outside the plane clamp (the caller freezes
     out-of-bounds pixels and flags them, matching WarpFields.cpp:389-398).
 
     The banded kernel requires the lane extent to be a multiple of 128
     (its pass loops cover 128-lane tiles); other sizes are edge-padded —
     exact, because clamp-at-the-padded-edge of a constant extension equals
-    clamp-at-the-true-edge. Channels stack along rows (the horizontal pass
-    is row-independent), so each pass is one kernel launch."""
-    C, S = srcs.shape[0], srcs.shape[1]
+    clamp-at-the-true-edge. All M*C planes stack along rows (the horizontal
+    pass is row-independent), so each pass stays ONE kernel launch no matter
+    how many fields compose together."""
+    M, C, S = srcs.shape[0], srcs.shape[1], srcs.shape[2]
     Sp = _round_up(S, 128)
     if Sp != S:
         e = Sp - S
-        srcs = jnp.pad(srcs, ((0, 0), (0, e), (0, e)), mode="edge")
-        gd = jnp.pad(gd, ((0, e), (0, e)), mode="edge")
-        vd = jnp.pad(vd, ((0, e), (0, e)), mode="edge")
-    cat = srcs.reshape(C * Sp, Sp)
-    gdc = jnp.broadcast_to(gd, (C, Sp, Sp)).reshape(C * Sp, Sp)
+        srcs = jnp.pad(srcs, ((0, 0), (0, 0), (0, e), (0, e)), mode="edge")
+        gd = jnp.pad(gd, ((0, 0), (0, e), (0, e)), mode="edge")
+        vd = jnp.pad(vd, ((0, 0), (0, e), (0, e)), mode="edge")
+    cat = srcs.reshape(M * C * Sp, Sp)
+    gdc = jnp.broadcast_to(gd[:, None], (M, C, Sp, Sp)).reshape(
+        M * C * Sp, Sp
+    )
     tmp = _hwarp_rows(cat, gdc, interpret)
-    tmpT = tmp.reshape(C, Sp, Sp).transpose(0, 2, 1).reshape(C * Sp, Sp)
-    vdT = jnp.broadcast_to(vd.T, (C, Sp, Sp)).reshape(C * Sp, Sp)
+    tmpT = tmp.reshape(M, C, Sp, Sp).transpose(0, 1, 3, 2).reshape(
+        M * C * Sp, Sp
+    )
+    vdT = jnp.broadcast_to(
+        jnp.swapaxes(vd, -1, -2)[:, None], (M, C, Sp, Sp)
+    ).reshape(M * C * Sp, Sp)
     outT = _hwarp_rows(tmpT, vdT, interpret)
-    out = outT.reshape(C, Sp, Sp).transpose(0, 2, 1)
-    return out[:, :S, :S]
+    out = outT.reshape(M, C, Sp, Sp).transpose(0, 1, 3, 2)
+    return out[:, :, :S, :S]
+
+
+def displace_planes(srcs, gd, vd, interpret=False):
+    """Single-field wrapper over :func:`displace_planes_batch` (C, S, S)."""
+    return displace_planes_batch(srcs[None], gd[None], vd[None],
+                                 interpret=interpret)[0]
 
 
 def displace_plane(src, gd, vd, interpret=False):
@@ -207,60 +238,82 @@ def displace_plane(src, gd, vd, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def self_compose_pallas(field, iters, interpret=False):
-    """Banded-kernel twin of fields.self_compose: ``iters`` doublings of
-    ``f <- f + f o (id + f)`` with OOB freezing + NaN flagging. ``field``:
-    (S, S, 2). The lookup displacement field is f itself, so each iteration
-    solves the column inverse of the CURRENT f then warps both channels."""
-    s = field.shape[0]
+def self_compose_pallas_batch(fields_in, iters, interpret=False):
+    """Banded-kernel twin of fields.self_compose over a BATCH: ``iters``
+    doublings of ``f <- f + f o (id + f)`` with OOB freezing + NaN flagging
+    for M independent fields at once. ``fields_in``: (M, S, S, 2). The
+    lookup displacement field is each f itself, so each iteration solves the
+    column inverses of the CURRENT fields then warps both channels — all M
+    fields share every kernel launch (the bank builder composes
+    2*warp_fields_per_batch fields; launch overhead amortizes M-fold)."""
+    s = fields_in.shape[1]
     ys = jnp.arange(s, dtype=jnp.float32)
     py, px = jnp.meshgrid(ys, ys, indexing="ij")
-    flagged0 = jnp.zeros((s, s), bool)
+    flagged0 = jnp.zeros(fields_in.shape[:3], bool)
 
     def body(carry, _):
-        f, flagged = carry
-        tx = px + f[..., 0]
-        ty = py + f[..., 1]
+        f, flagged = carry                              # (M, S, S, 2)
+        tx = px[None] + f[..., 0]
+        ty = py[None] + f[..., 1]
         oob = (tx < 0) | (tx >= s) | (ty < 0) | (ty >= s)
         flagged = flagged | oob
-        gd = coarse_gdisp(f, interpret=interpret)
+        gd = coarse_gdisp_batch(f, interpret=interpret)  # (M, S, S)
         lut = jnp.moveaxis(
-            displace_planes(jnp.moveaxis(f, -1, 0), gd, f[..., 1],
-                            interpret=interpret),
-            0, -1,
+            displace_planes_batch(jnp.moveaxis(f, -1, 1), gd, f[..., 1],
+                                  interpret=interpret),
+            1, -1,
         )
         f = jnp.where(oob[..., None], f, f + lut)
         return (f, flagged), None
 
     # scan (not fori) keeps the per-iteration pallas_calls un-unrolled.
-    (f, flagged), _ = lax.scan(body, (field, flagged0), None, length=iters)
+    (f, flagged), _ = lax.scan(body, (fields_in, flagged0), None,
+                               length=iters)
     oob_final = (
-        (px + f[..., 0] < 0)
-        | (px + f[..., 0] >= s)
-        | (py + f[..., 1] < 0)
-        | (py + f[..., 1] >= s)
+        (px[None] + f[..., 0] < 0)
+        | (px[None] + f[..., 0] >= s)
+        | (py[None] + f[..., 1] < 0)
+        | (py[None] + f[..., 1] >= s)
     )
     flagged = flagged | oob_final
     return jnp.where(flagged[..., None], jnp.nan, f)
 
 
-def make_big_field_pallas(key, size, coarse_iters=13, interpret=False):
-    """TPU-kernel twin of fields.make_big_field: same half-lattice schedule,
-    same elementary fields, composition through the banded kernels. Returns
-    (flow, iflow) with NaN-flagged out-of-bounds pixels."""
+def self_compose_pallas(field, iters, interpret=False):
+    """Single-field wrapper over :func:`self_compose_pallas_batch`."""
+    return self_compose_pallas_batch(field[None], iters,
+                                     interpret=interpret)[0]
+
+
+def make_big_fields_pallas(keys, size, coarse_iters=13, interpret=False):
+    """TPU-kernel twin of fields.make_big_field over a BATCH of field keys:
+    same half-lattice schedule, same elementary fields, composition through
+    the banded kernels with all ``2 * len(keys)`` directions (flow + iflow
+    per key) sharing every kernel launch. Returns (flow, iflow), each
+    (F, S, S, 2) with NaN-flagged out-of-bounds pixels."""
     from . import fields
 
-    grid = fields.sample_displacer_grid(key, size)
     half = size // 2
+    elems = []
+    for key in keys:
+        grid = fields.sample_displacer_grid(key, size)
+        for inverse in (False, True):
+            elems.append(
+                fields.elementary_field(grid, half, inverse=inverse,
+                                        stride=2.0)
+                / 2.0
+            )
+    f_h = jnp.stack(elems)                               # (2F, half, half, 2)
+    f_h = self_compose_pallas_batch(f_h, coarse_iters, interpret=interpret)
+    f = 2.0 * jax.vmap(fields._upsample2)(jnp.nan_to_num(f_h))
+    out = self_compose_pallas_batch(f, fields.COMPOSE_ITERS - coarse_iters,
+                                    interpret=interpret)
+    out = fields.clamp_near_zeros(out)
+    return out[0::2], out[1::2]
 
-    def compose_one(inverse):
-        f_h = fields.elementary_field(grid, half, inverse=inverse,
-                                      stride=2.0) / 2.0
-        f_h = self_compose_pallas(f_h, coarse_iters, interpret=interpret)
-        f = 2.0 * fields._upsample2(jnp.nan_to_num(f_h))
-        return self_compose_pallas(f, fields.COMPOSE_ITERS - coarse_iters,
-                                   interpret=interpret)
 
-    flow = compose_one(False)
-    iflow = compose_one(True)
-    return fields.clamp_near_zeros(flow), fields.clamp_near_zeros(iflow)
+def make_big_field_pallas(key, size, coarse_iters=13, interpret=False):
+    """Single-key wrapper over :func:`make_big_fields_pallas`."""
+    flow, iflow = make_big_fields_pallas([key], size, coarse_iters,
+                                         interpret=interpret)
+    return flow[0], iflow[0]

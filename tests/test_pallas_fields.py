@@ -92,3 +92,60 @@ def test_make_big_field_pallas_matches_xla():
         mag = max(np.abs(rn[both]).max(), 1e-6)
         assert np.median(err) < 0.03 * mag
         assert np.quantile(err, 0.99) < 0.15 * mag
+
+
+def test_coarse_gdisp_batch_rect():
+    key = root_key(11)
+    D0 = _smooth_field(key, 256, mag=6.0)
+    D = jnp.stack([D0[:128, :, :], D0[128:, :, :]])  # (2, 128, 256, 2)
+    gd = pf.coarse_gdisp_batch(D, interpret=True)
+    assert gd.shape == (2, 128, 256)
+    # Each batch entry must equal the single-field solve of its own field.
+    for k in range(2):
+        ref = pf.coarse_gdisp_batch(D[k : k + 1], interpret=True)[0]
+        assert np.allclose(np.asarray(gd[k]), np.asarray(ref), atol=1e-5)
+
+
+def test_bg_upscale_matches_gathers():
+    from flowgen.ops import texture as tex
+    from flowgen.warpfields import generator as warpgen
+
+    key = root_key(13)
+    iflo = _smooth_field(key, 256, mag=6.0)[None, :128, :128]  # (1,128,128,2)
+    bg_ey = 24
+    out = warpgen.bg_upscale(iflo, bg_ey)
+    H, W = 128, 128
+    ys = jnp.arange(-bg_ey, H + bg_ey, dtype=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    u = (xx + W / 2.0 + 0.5) / 2.0 - 0.5
+    v = (yy + H / 2.0 + 0.5) / 2.0 - 0.5
+    ref = 2.0 * tex.sample_bilinear(iflo[0], u, v, wrap="clamp")
+    assert out.shape == (1, H + 2 * bg_ey, W, 2)
+    assert np.allclose(np.asarray(out[0]), np.asarray(ref), atol=1e-5)
+
+
+def test_make_warp_aux_pallas_matches_xla():
+    """The banded-kernel aux preprocess tracks the XLA gather fallback to the
+    coarse-lattice interpolation error (sub-0.1 px on sigma~50 fields)."""
+    from flowgen.compose.render import WarpBank
+    from flowgen.warpfields import generator as warpgen
+
+    key = root_key(17)
+    f = _smooth_field(key, 256, mag=6.0)
+    i = -f  # adequate stand-in inverse for a smooth small field
+    bank = WarpBank(flow=f[None], iflow=i[None])
+    obj_p, bg_p = warpgen.make_warp_aux(bank, use_pallas=True,
+                                        interpret=True)
+    obj_x, bg_x = warpgen.make_warp_aux(bank, use_pallas=False)
+    assert obj_p.shape == obj_x.shape and bg_p.shape == bg_x.shape
+    # Planes 1-3 (vdisp + forward field) are copies — identical.
+    assert np.allclose(np.asarray(obj_p[:, 1:]), np.asarray(obj_x[:, 1:]),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(bg_p[:, 1]), np.asarray(bg_x[:, 1]),
+                       atol=1e-5)
+    # gdisp planes agree to the coarse-solve tolerance.
+    for p, x in ((obj_p[:, 0], obj_x[:, 0]), (bg_p[:, 0], bg_x[:, 0])):
+        err = np.abs(np.asarray(p) - np.asarray(x))
+        assert np.median(err) < 0.05
+        assert err.max() < 0.5

@@ -140,21 +140,48 @@ def test_nonconvex_winding():
     np.testing.assert_array_equal(np.asarray(inside)[sure], (ss >= 0.5)[sure])
 
 
-def test_ellipse_circle_coverage():
+def _gon_reference(t, rx, ry, px, py, steps=100):
+    """The reference's literal geometry: the inscribed ``steps``-gon
+    (agg::ellipse, cpp:1080), exact-area rasterized; plus the set of pixels
+    whose cell contains a gon vertex (where the single-chord formula is
+    allowed its corner-sliver deviation)."""
+    ang = np.arange(steps) * (2 * np.pi / steps)
+    local = np.stack([rx * np.cos(ang), ry * np.sin(ang)], -1).astype(
+        np.float32
+    )
+    pts = affine.apply(t, jnp.asarray(local))
+    ref_aa, ref_in = raster.polygon_coverage(pts, px, py)
+    vp = np.floor(np.asarray(pts)).astype(np.int64)
+    vertex_cells = np.zeros(px.shape, bool)
+    H, W = px.shape
+    ok = (vp[:, 0] >= 0) & (vp[:, 0] < W) & (vp[:, 1] >= 0) & (vp[:, 1] < H)
+    # A vertex influences its own cell and (via chord selection at centers)
+    # the 8-neighborhood.
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            yy = np.clip(vp[ok, 1] + dy, 0, H - 1)
+            xx = np.clip(vp[ok, 0] + dx, 0, W - 1)
+            vertex_cells[yy, xx] = True
+    return np.asarray(ref_aa), np.asarray(ref_in), vertex_cells
+
+
+def test_ellipse_circle_matches_gon():
     px, py = raster.pixel_grid(64, 64)
     t = affine.translation(32.0, 32.0)
     aa, inside = raster.ellipse_coverage(t, 10.0, 10.0, px, py)
-    inside = np.asarray(inside)
-    dist = np.hypot(np.asarray(px) - 32.0, np.asarray(py) - 32.0)
-    np.testing.assert_array_equal(inside, dist <= 10.0)
-    # AA ~0.5 at the rim.
-    rim = np.abs(dist - 10.0) < 0.05
-    assert np.all(np.abs(np.asarray(aa)[rim] - 0.5) < 0.1)
-    # Area matches pi r^2 within a pixel's worth.
-    assert abs(np.asarray(aa).sum() - np.pi * 100.0) < 8.0
+    ref_aa, ref_in, vcells = _gon_reference(t, 10.0, 10.0, px, py)
+    # Chord-exact: identical to the full 100-gon rasterization away from
+    # vertex cells, sliver-bounded on them.
+    np.testing.assert_allclose(
+        np.asarray(aa)[~vcells], ref_aa[~vcells], atol=2e-3
+    )
+    np.testing.assert_array_equal(np.asarray(inside)[~vcells],
+                                  ref_in[~vcells])
+    assert np.abs(np.asarray(aa) - ref_aa).max() < 0.05
+    assert abs(np.asarray(aa).sum() - ref_aa.sum()) < 0.5
 
 
-def test_ellipse_under_rotation_scale():
+def test_ellipse_under_rotation_scale_matches_gon():
     px, py = raster.pixel_grid(128, 96)
     t = affine.chain(
         affine.rotation(np.pi / 4), affine.scaling(1.5), affine.translation(64.0, 48.0)
@@ -164,15 +191,14 @@ def test_ellipse_under_rotation_scale():
     np.testing.assert_allclose(
         np.asarray(aa).sum(), np.pi * 20 * 8 * 2.25, rtol=0.02
     )
-    # Ellipse polygonized at 200 steps agrees with the analytic test.
-    ang = np.linspace(0, 2 * np.pi, 200, endpoint=False)
-    local = np.stack([20 * np.cos(ang), 8 * np.sin(ang)], -1).astype(np.float32)
-    pts = affine.apply(t, jnp.asarray(local))
-    _, inside_poly = raster.polygon_coverage(pts, px, py)
-    # Analytic center test vs the polygon's area>=0.5 rule: they disagree only
-    # on a sliver of boundary pixels (the analytic ellipse path is only used
-    # for fat ellipses, where this is a sub-percent image-only effect).
-    assert (np.asarray(inside) != np.asarray(inside_poly)).mean() < 0.01
+    ref_aa, ref_in, vcells = _gon_reference(t, 20.0, 8.0, px, py)
+    np.testing.assert_allclose(
+        np.asarray(aa)[~vcells], ref_aa[~vcells], atol=2e-3
+    )
+    np.testing.assert_array_equal(np.asarray(inside)[~vcells],
+                                  ref_in[~vcells])
+    assert np.abs(np.asarray(aa) - ref_aa).max() < 0.08
+    assert (np.asarray(inside) != ref_in).mean() < 0.005
 
 
 def test_mask_algebra():

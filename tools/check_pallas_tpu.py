@@ -98,7 +98,10 @@ def main():
                 bank = warpgen.make_warp_bank(
                     root_key(3), jnp.int32(0), cfg, impl="xla"
                 )
-                warp_aux = warpgen.make_warp_aux(bank)
+                # Staged on host: keep the XLA aux path explicitly (the
+                # use_pallas autodetect keys off the process default backend,
+                # which is the TPU here even under default_device(cpu)).
+                warp_aux = warpgen.make_warp_aux(bank, use_pallas=False)
                 n_slots = warpgen.bank_size(cfg)
             scenes = sample_scene_batch(
                 root_key(3), jnp.arange(4), cfg, n_warp_slots=n_slots

@@ -137,8 +137,8 @@ def main():
         bank_fn = jax.jit(
             lambda r, s: warpgen.make_warp_bank(r, s, cfg9)
         )
-        report("mode9 warp bank (1 field)", pipelined(bank_fn, root, step,
-                                                      steps=4))
+        report("mode9 warp bank (full bank)", pipelined(bank_fn, root, step,
+                                                        steps=4))
         bank = jax.block_until_ready(bank_fn(root, step))
         aux_fn = jax.jit(warpgen.make_warp_aux)
         report("mode9 warp aux", pipelined(aux_fn, bank, steps=4))
