@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from ..config import MAX_COMPONENTS, MAX_EDGES, DataGenConfig
 from ..ops import affine
+from ..ops import pallas_resample as resamp
 from ..ops import pallas_scene as ps
 from ..params.blueprint import Scene
 from . import render as render_mod
@@ -154,6 +155,91 @@ def _quadrant_factor(minv, W, H):
         axis=1,
     )
     return jnp.where(rot90[:, None, None], tq, tm), rot90
+
+
+def _span_requirements(t_eff, wh, ww, chunk, xchunk):
+    """ACTUAL two-pass resampling requirements of effective output->source
+    affines ``t_eff`` [..., 2, 3]: (row_span, xs_need, ys_need) — the exact
+    per-affine analogs of the static sizing in
+    ``pallas_resample.max_row_span`` / ``scan_tiles_pass1`` /
+    ``scan_tiles_pass2`` (including their +4/+8 and +3/+1 slack terms), using
+    the same coefficients the kernel derives (``two_pass_coeffs``)."""
+    a = t_eff[..., 0, 0]
+    b = t_eff[..., 0, 1]
+    c = t_eff[..., 1, 0]
+    d = t_eff[..., 1, 1]
+    d_safe = jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    B = b / d_safe
+    A = a - B * c
+    span = jnp.abs(c) * ww + jnp.abs(d) * wh + 4.0 + 8.0
+    xs_need = jnp.ceil(
+        (jnp.abs(A) * 128.0 + jnp.abs(B) * chunk + 3.0) / 128.0
+    ) + 1.0
+    ys_need = jnp.ceil(
+        (jnp.abs(c) * xchunk + jnp.abs(d) * 128.0 + 3.0) / 128.0
+    ) + 1.0
+    return span, xs_need, ys_need
+
+
+def envelope_violations(scenes: Scene, cfg: DataGenConfig, bgm=None):
+    """Runtime guard for the fused path's statically-sized resampler: count
+    the scene elements in a batch whose ACTUAL frame-1 sampling affine needs
+    a larger pass-1 row span or scan window than the kernel compiled for the
+    mode's declared envelope (``pallas_scene.mode_envelope``).
+
+    Zero for every built-in mode by construction — the FlyingChairs shapers
+    map into closed ranges (DataGenerator.cpp:826-921) and quadrant factoring
+    caps residual rotations at 45 deg. A custom :func:`flowgen.config.
+    register_mode` whose shapers escape their declared ranges trips this
+    (out-of-envelope affines would otherwise resample garbage silently —
+    reads stay in-bounds, the band scan just misses source rows).
+
+    ``scenes`` is a batch; ``bgm`` optionally the per-sample background meta
+    payload of :func:`render_batch_fused` (its frame-1 affine is checked
+    against the background envelope when given). Returns an int32 scalar,
+    usable under jit."""
+    H, W = cfg.height, cfg.width
+    spec = cfg.mode_spec
+    wh, ww = min(ps.WIN_H, H), min(ps.WIN_W, W)
+    P, PBG, xs, ys = ps.resample_params(spec, H, W)
+    chunk = float(min(resamp.PASS1_CHUNK, max(P, PBG)))
+    xchunk = float(min(128, ww))
+    quadrant = ps.quadrant_needed(spec)
+
+    def one(s):
+        objs = s.objects
+        if quadrant:
+            t_eff, _ = _quadrant_factor(objs.motion_inv, float(W), float(H))
+        else:
+            t_eff = objs.motion_inv
+        span, xsn, ysn = _span_requirements(t_eff, wh, ww, chunk, xchunk)
+        bad = (span > P) | (xsn > xs) | (ysn > ys)
+        # Only frame-1 on-screen objects ever resample.
+        _, (lo1, hi1) = render_mod._all_bboxes(s.prims, objs.motion)
+        on1 = objs.valid & ~render_mod._offscreen(
+            lo1, hi1, render_mod.AA_MARGIN + 1.0, H, W
+        )
+        return jnp.sum((bad & on1).astype(jnp.int32))
+
+    n = jnp.sum(jax.vmap(one)(scenes))
+    if bgm is not None:
+        t1 = bgm[:, 6:12].reshape(-1, 2, 3)
+        span, xsn, ysn = _span_requirements(t1, wh, ww, chunk, xchunk)
+        n = n + jnp.sum(
+            ((span > PBG) | (xsn > xs) | (ysn > ys)).astype(jnp.int32)
+        )
+    return n
+
+
+_BUILTIN_MODES = frozenset(range(1, 14)) | frozenset(range(101, 114))
+
+
+def _validate_enabled(cfg: DataGenConfig) -> bool:
+    if cfg.validate_envelope == "always":
+        return True
+    if cfg.validate_envelope == "never":
+        return False
+    return cfg.mode not in _BUILTIN_MODES
 
 
 def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int,
@@ -368,6 +454,19 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
         bgm = jax.vmap(
             lambda s: _bg_meta_payload(s, cfg, src_hw[0], src_hw[1])
         )(scenes)
+
+    if _validate_enabled(cfg):
+        viol = envelope_violations(scenes, cfg, bgm=bgm)
+        jax.lax.cond(
+            viol > 0,
+            lambda v: jax.debug.print(
+                "flowgen WARNING: {v} scene element(s) exceed mode "
+                f"{cfg.mode}'s declared motion envelope; their fused "
+                "resampling is unreliable (fix the ModeSpec ranges "
+                "passed to register_mode)", v=v),
+            lambda v: None,
+            viol,
+        )
 
     obj_aux = bg_aux = None
     if has_warp:

@@ -350,6 +350,14 @@ class DataGenConfig:
     # Pallas polygon-coverage kernel (edge-count-culled, fused). "auto" uses
     # it on TPU backends and the pure-XLA path on CPU; "always"/"never" force.
     use_pallas: str = "auto"
+    # Runtime guard (fused path): per batch, count scene elements whose
+    # ACTUAL frame-1 sampling affine exceeds the statically-sized resample
+    # envelope — possible only if a custom mode's shapers escape their
+    # declared ModeSpec ranges — and emit a device-side warning
+    # (compose/fused.envelope_violations). "auto": on for custom-registered
+    # modes, off for the built-in ids, whose shapers provably close over
+    # their ranges (DataGenerator.cpp:826-921). "always"/"never" force.
+    validate_envelope: str = "auto"
 
     def __post_init__(self):
         if self.mode not in MODES:

@@ -236,3 +236,54 @@ def test_generate_batch_dispatch():
     )
     assert use_fused_path(flowgen.DataGenConfig(mode=11, use_pallas="always"))
     assert use_fused_path(flowgen.DataGenConfig(mode=13, use_pallas="always"))
+
+
+def test_envelope_guard():
+    """compose/fused.envelope_violations: zero for built-in in-envelope
+    motion, trips on motion beyond the mode's declared ranges (the
+    mis-declared-ModeSpec failure the static kernel sizing cannot see), and
+    stays zero when quadrant factoring absorbs a large rotation (mode 11)."""
+    from flowgen.compose import fused
+    from flowgen.ops import affine
+
+    cfg7, _, _, _, _, scenes7 = _setup(7)
+    assert int(fused.envelope_violations(scenes7, cfg7)) == 0
+
+    def inject_rotation(scenes, deg):
+        """Overwrite every object's motion with a rotation about the frame
+        center (keeps on-screen objects on-screen)."""
+        th = float(np.deg2rad(deg))
+        m = affine.conjugate_about(affine.rotation(th), W / 2.0, H / 2.0)
+        K = scenes.objects.valid.shape[-1]
+        B = scenes.objects.valid.shape[0]
+        mb = jnp.broadcast_to(m, (B, K, 2, 3))
+        ib = jnp.broadcast_to(
+            affine.invert(m), (B, K, 2, 3)
+        )
+        return scenes._replace(
+            objects=scenes.objects._replace(motion=mb, motion_inv=ib)
+        )
+
+    # Mode 7 declares ~+-21 deg of total rotation; 60 deg exceeds the static
+    # pass-1 sizing (no quadrant factoring for this mode) -> violations.
+    bad = inject_rotation(scenes7, 60.0)
+    assert int(fused.envelope_violations(bad, cfg7)) > 0
+    # Within the declared envelope: still clean.
+    ok = inject_rotation(scenes7, 10.0)
+    assert int(fused.envelope_violations(ok, cfg7)) == 0
+
+    # Mode 11 quadrant-factors: the same 60 deg leaves a 30-deg residual,
+    # within the 45-deg static sizing -> no violations.
+    cfg11, _, _, _, _, scenes11 = _setup(11)
+    bad11 = inject_rotation(scenes11, 60.0)
+    assert int(fused.envelope_violations(bad11, cfg11)) == 0
+    # ... but an anisotropic shear no rotation+scale mode can produce
+    # (|b| >> |d|) still trips it after factoring.
+    shear = jnp.asarray([[1.0, 4.0, 0.0], [0.0, 1.0, 0.0]], jnp.float32)
+    B, K = scenes11.objects.valid.shape
+    sheared = scenes11._replace(
+        objects=scenes11.objects._replace(
+            motion_inv=jnp.broadcast_to(shear, (B, K, 2, 3))
+        )
+    )
+    assert int(fused.envelope_violations(sheared, cfg11)) > 0
