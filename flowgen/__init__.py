@@ -40,6 +40,10 @@ from .compose.render import (
 from .params.blueprint import Background, Objects, Primitives, Scene
 from .params.sampler import sample_scene, sample_scene_batch
 from .pipeline.generator import Generator, generate_batch, make_generate_fn
+from .pipeline.sharding import (
+    distribute_atlas,
+    texture_paths_for_process,
+)
 from .texture_io import atlas_for_config, load_texture_db, procedural_atlas
 
 __version__ = "0.1.0"
@@ -48,7 +52,10 @@ __all__ = [
     "DataGenConfig",
     "ModeSpec",
     "MODES",
-    "register_mode, disparity_mode",
+    "register_mode",
+    "disparity_mode",
+    "distribute_atlas",
+    "texture_paths_for_process",
     "Generator",
     "Scene",
     "RenderOutput",

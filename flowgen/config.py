@@ -329,6 +329,11 @@ class DataGenConfig:
     # painter's pass knows the winning object per pixel, so these are nearly
     # free; the reference has no equivalent output.
     emit_masks: bool = False
+    # Photometric augmentation fused into the step (ops/photometric.py):
+    # FlowNet-recipe color/gamma/brightness/contrast jitter shared across the
+    # pair (flow stays valid) + independent per-frame sensor noise. The
+    # reference emits raw renders and left this to separate Caffe layers.
+    photometric_augment: bool = False
     # Warp-field bank sizing (mode 9); see flowgen/warpfields/generator.py.
     # Defaults give ~9x reuse per crop at 512x384/batch-32 (the reference
     # serves each crop 3x from continuously-produced fields,

@@ -160,6 +160,10 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
     rest = rendered[3:]
     f1 = rest.pop(0) if cfg.compute_inverse_flow else None
     masks = tuple(rest) if cfg.emit_masks else None
+    if cfg.photometric_augment:
+        from ..ops import photometric
+
+        i0, i1 = photometric.augment_batch(root, indices, i0, i1)
     return _adapt_output(i0, i1, f0, f1, cfg, masks)
 
 
@@ -245,6 +249,52 @@ def make_slab_packer(cfg: DataGenConfig):
     return slabs
 
 
+class BankEpochCache:
+    """Host-side (warp bank, warp aux) cache keyed by ``step // reuse`` with
+    sequential-consumption prefetch: :meth:`prefetch_next` (call AFTER
+    dispatching a step's generation work) dispatches the NEXT epoch's
+    bank+aux asynchronously on the epoch's last step, so the epoch boundary
+    costs no pipeline bubble — the deterministic analog of the reference's
+    always-running producer threads (WarpFields.cpp:489). A seek elsewhere
+    only wastes the prediction; results stay exact. Shared by the unsharded
+    (:func:`make_generate_fn`) and sharded (pipeline/sharding.py) paths."""
+
+    def __init__(self, bank_fn, aux_fn, reuse: int):
+        self._bank_fn = bank_fn
+        self._aux_fn = aux_fn
+        self._reuse = max(reuse, 1)
+        self._c = {}
+
+    def _build(self, root, step: int):
+        bank = self._bank_fn(root, jnp.int32(step))
+        aux = self._aux_fn(bank) if self._aux_fn is not None else None
+        return bank, aux
+
+    def get(self, root, step: int):
+        c, reuse = self._c, self._reuse
+        epoch = int(step) // reuse
+        if c.get("epoch") != epoch:
+            if c.get("next_epoch") == epoch:
+                # Pre-dispatched at the previous epoch's tail — the device
+                # already worked through it behind the generation steps.
+                c["bank"] = c.pop("next_bank")
+                c["aux"] = c.pop("next_aux")
+                del c["next_epoch"]
+            else:
+                c["bank"], c["aux"] = self._build(root, epoch * reuse)
+            c["epoch"] = epoch
+        return c["bank"], c["aux"]
+
+    def prefetch_next(self, root, step: int):
+        c, reuse = self._c, self._reuse
+        epoch = int(step) // reuse
+        if int(step) % reuse == reuse - 1 and c.get("next_epoch") != epoch + 1:
+            c["next_bank"], c["next_aux"] = self._build(
+                root, (epoch + 1) * reuse
+            )
+            c["next_epoch"] = epoch + 1
+
+
 def make_generate_fn(cfg: DataGenConfig, mesh=None):
     """Compiled generation step. With a mesh, generation shards over the
     ``data`` axis via shard_map — per-device independent generation, zero
@@ -267,39 +317,19 @@ def make_generate_fn(cfg: DataGenConfig, mesh=None):
             root, step, packed(atlas), slabs=slab_of(packed(atlas))
         )
 
-    bank_fn = jax.jit(functools.partial(warpgen.make_warp_bank, cfg=cfg))
-    aux_fn = jax.jit(warpgen.make_warp_aux)
-    fused = use_fused_path(cfg)
-    reuse = max(cfg.warp_bank_reuse_steps, 1)
-    cache = {}
+    bank_cache = BankEpochCache(
+        jax.jit(functools.partial(warpgen.make_warp_bank, cfg=cfg)),
+        jax.jit(warpgen.make_warp_aux) if use_fused_path(cfg) else None,
+        cfg.warp_bank_reuse_steps,
+    )
 
     def fn(root, step, atlas):
-        epoch = int(step) // reuse
-        if cache.get("epoch") != epoch:
-            if cache.get("next_epoch") == epoch:
-                # Pre-dispatched at the previous epoch's tail — the device
-                # already worked through it behind the generation steps.
-                cache["bank"] = cache.pop("next_bank")
-                cache["aux"] = cache.pop("next_aux")
-                del cache["next_epoch"]
-            else:
-                cache["bank"] = bank_fn(root, jnp.int32(step))
-                cache["aux"] = aux_fn(cache["bank"]) if fused else None
-            cache["epoch"] = epoch
+        bank, aux = bank_cache.get(root, int(step))
         out = gen(
-            root, jnp.int32(step), packed(atlas), warp_bank=cache["bank"],
-            slabs=slab_of(packed(atlas)), warp_aux=cache["aux"],
+            root, jnp.int32(step), packed(atlas), warp_bank=bank,
+            slabs=slab_of(packed(atlas)), warp_aux=aux,
         )
-        # Sequential-consumption prefetch: on the epoch's last step, dispatch
-        # the NEXT epoch's bank+aux asynchronously so the epoch boundary
-        # costs no pipeline bubble (the deterministic analog of the
-        # reference's always-running producer threads, WarpFields.cpp:489).
-        # A seek elsewhere just wastes the prediction; results stay exact.
-        if int(step) % reuse == reuse - 1 and cache.get("next_epoch") != epoch + 1:
-            nb = bank_fn(root, jnp.int32((epoch + 1) * reuse))
-            cache["next_bank"] = nb
-            cache["next_aux"] = aux_fn(nb) if fused else None
-            cache["next_epoch"] = epoch + 1
+        bank_cache.prefetch_next(root, int(step))
         return out
 
     return fn

@@ -92,6 +92,7 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
     # CropGenerator's crop reuse (WarpFields.cpp:516-538), same host-side
     # caching as make_generate_fn's unsharded branch.
     from ..warpfields import generator as warpgen
+    from .generator import BankEpochCache
 
     gen = jax.jit(shmap(local_step, (P(), P(), P(), P(), P(), P())))
     import functools
@@ -103,21 +104,19 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
         out_shardings=NamedSharding(mesh, P()),
     )
     fused = use_fused_path(_dc.replace(cfg, batch_size=local_cfg.batch_size))
-    aux_fn = jax.jit(
-        warpgen.make_warp_aux, out_shardings=NamedSharding(mesh, P())
+    aux_fn = (
+        jax.jit(warpgen.make_warp_aux, out_shardings=NamedSharding(mesh, P()))
+        if fused
+        else None
     )
-    cache = {}
+    bank_cache = BankEpochCache(bank_fn, aux_fn, cfg.warp_bank_reuse_steps)
 
     def fn(root, step, atlas):
-        epoch = int(step) // max(cfg.warp_bank_reuse_steps, 1)
-        if cache.get("epoch") != epoch:
-            cache["bank"] = bank_fn(root, jnp.int32(step))
-            cache["aux"] = aux_fn(cache["bank"]) if fused else None
-            cache["epoch"] = epoch
+        bank, aux = bank_cache.get(root, int(step))
         a = packed(atlas)
-        return gen(
-            root, jnp.int32(step), a, slab_of(a), cache["bank"], cache["aux"]
-        )
+        out = gen(root, jnp.int32(step), a, slab_of(a), bank, aux)
+        bank_cache.prefetch_next(root, int(step))
+        return out
 
     return fn
 
@@ -125,3 +124,44 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
 def replicate(mesh: Mesh, x):
     """Place an array fully replicated on the mesh."""
     return jax.device_put(x, NamedSharding(mesh, P()))
+
+
+def texture_paths_for_process(paths, process_index=None, process_count=None):
+    """Contiguous per-process slice of a texture DB path list for
+    :func:`distribute_atlas`. The list is padded by cycling so every process
+    decodes the same count (texture lookup is modulo the table size,
+    DataGenerator.cpp:158-161, so the repeats only reweight those sources by
+    one extra slot)."""
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+    paths = list(paths)
+    per = -(-len(paths) // n)
+    padded = paths + [paths[i % len(paths)] for i in range(per * n - len(paths))]
+    return padded[p * per : (p + 1) * per]
+
+
+def distribute_atlas(mesh: Mesh, local_textures, axis: str = "data"):
+    """Multi-host atlas placement with ONE startup all-gather.
+
+    The reference loads the ENTIRE texture DB on every node
+    (TextureCollection ctor, DataGenerator.cpp:117-149). Here each process
+    reads and decodes only its slice of the path list
+    (:func:`texture_paths_for_process`) and passes the decoded
+    ``(T_local, H, W, 3)`` block; the global atlas is assembled sharded over
+    ``axis`` from the per-process blocks and replicated by one jitted
+    identity with replicated out-sharding — XLA inserts a single all-gather
+    that rides ICI/DCN once at init. Generation itself never communicates
+    (the hot path is embarrassingly parallel).
+
+    The global texture order is process-major (process 0's block first), so
+    sampled ``tex_id % T`` content is a function of the process count —
+    choose the decode split once per deployment. Returns the fully
+    replicated ``(T_local * n_processes, H, W, 3)`` atlas."""
+    n = jax.process_count()
+    global_shape = (local_textures.shape[0] * n,) + local_textures.shape[1:]
+    sharded = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(axis)), local_textures, global_shape
+    )
+    return jax.jit(
+        lambda x: x, out_shardings=NamedSharding(mesh, P())
+    )(sharded)

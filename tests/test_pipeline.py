@@ -136,3 +136,31 @@ def test_sharded_output_is_sharded():
     )
     sharding = out["image0"].sharding
     assert len(sharding.device_set) == 8
+
+
+def test_distribute_atlas_replicates():
+    """Multi-host atlas init (single-process degenerate case): per-process
+    blocks assemble into the global atlas, sharded over the mesh, then one
+    all-gather replicates — result equals the monolithic atlas on every
+    device."""
+    from flowgen.pipeline.sharding import (
+        distribute_atlas,
+        texture_paths_for_process,
+    )
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("data",))
+    atlas = np.asarray(
+        flowgen.procedural_atlas(8, height=32, width=32), dtype=np.float32
+    )
+    out = distribute_atlas(mesh, jnp.asarray(atlas))
+    assert out.shape == atlas.shape
+    np.testing.assert_array_equal(np.asarray(out), atlas)
+    assert out.sharding.is_fully_replicated
+
+    # Path slicing: contiguous, cycle-padded, one equal block per process.
+    paths = [f"t{i}.png" for i in range(10)]
+    blocks = [texture_paths_for_process(paths, p, 4) for p in range(4)]
+    assert all(len(b) == 3 for b in blocks)
+    flat = [p for b in blocks for p in b]
+    assert flat[:10] == paths and flat[10:] == paths[:2]
