@@ -39,7 +39,12 @@ from .compose.render import (
 )
 from .params.blueprint import Background, Objects, Primitives, Scene
 from .params.sampler import sample_scene, sample_scene_batch
-from .pipeline.generator import Generator, generate_batch, make_generate_fn
+from .pipeline.generator import (
+    Generator,
+    generate_batch,
+    make_generate_fn,
+    make_mixed_generate_fn,
+)
 from .pipeline.sharding import (
     distribute_atlas,
     texture_paths_for_process,
@@ -62,6 +67,7 @@ __all__ = [
     "WarpBank",
     "generate_batch",
     "make_generate_fn",
+    "make_mixed_generate_fn",
     "render_batch",
     "render_sample",
     "sample_scene",

@@ -335,6 +335,47 @@ def make_generate_fn(cfg: DataGenConfig, mesh=None):
     return fn
 
 
+def make_mixed_generate_fn(cfgs, weights=None, mesh=None):
+    """Deterministic per-step mode mixture (the IJCV paper's curriculum /
+    dataset-mixing experiments; the reference could only run one hardcoded
+    mode per process).
+
+    ``cfgs``: one DataGenConfig per ingredient (same batch/frame dims and
+    output signature; each mode compiles once, first use). ``weights``:
+    mixture probabilities (default uniform). The mode choice is a pure
+    function of (seed, step) — a host-side counter-based draw, no device
+    round trip — so the mixed stream stays seekable and resumable like the
+    single-mode one. Returns ``fn(root, step, atlas)``."""
+    if not cfgs:
+        raise ValueError("need at least one config")
+    sig = {
+        (c.batch_size, c.height, c.width, c.layout, c.channel_order,
+         c.compute_inverse_flow, c.emit_masks,
+         c.mode_spec.horizontal_only)
+        for c in cfgs
+    }
+    if len(sig) > 1:
+        raise ValueError(
+            "mixed-mode ingredients must share batch/frame dims and output "
+            f"signature; got {sorted(sig)}"
+        )
+    p = np.full(len(cfgs), 1.0 / len(cfgs)) if weights is None else (
+        np.asarray(weights, np.float64) / np.sum(weights)
+    )
+    cum = np.cumsum(p)
+    fns = [make_generate_fn(c, mesh) for c in cfgs]
+    seed = cfgs[0].seed
+
+    def fn(root, step, atlas):
+        # Philox counter draw keyed by (seed, step): stateless, seekable.
+        u = np.random.default_rng([seed, int(step), 0x6D69785D]).random()
+        return fns[int(np.searchsorted(cum, u, side="right").clip(
+            0, len(fns) - 1
+        ))](root, step, atlas)
+
+    return fn
+
+
 class Generator:
     """Streaming batch source with the reference layer's lifecycle surface.
 

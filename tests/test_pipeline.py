@@ -164,3 +164,57 @@ def test_distribute_atlas_replicates():
     assert all(len(b) == 3 for b in blocks)
     flat = [p for b in blocks for p in b]
     assert flat[:10] == paths and flat[10:] == paths[:2]
+
+
+def test_mixed_mode_stream():
+    """make_mixed_generate_fn: deterministic seekable mode choice, correct
+    output signature, ingredient content identical to its single-mode
+    stream at the same step."""
+    from flowgen.pipeline.generator import (
+        make_generate_fn,
+        make_mixed_generate_fn,
+    )
+    from flowgen.random.streams import root_key
+
+    cfgs = [
+        flowgen.DataGenConfig(mode=m, batch_size=2, width=128, height=96,
+                              seed=11, use_pallas="never")
+        for m in (1, 3)
+    ]
+    atlas = jnp.asarray(
+        flowgen.procedural_atlas(3, height=96, width=128), jnp.float32
+    )
+    fn = make_mixed_generate_fn(cfgs, weights=[0.5, 0.5])
+    root = root_key(11)
+    a = fn(root, jnp.int32(4), atlas)
+    b = fn(root, jnp.int32(4), atlas)
+    np.testing.assert_array_equal(np.asarray(a["flow0"]),
+                                  np.asarray(b["flow0"]))
+    # The chosen ingredient's batch equals its single-mode stream's batch.
+    single_fns = [make_generate_fn(c) for c in cfgs]
+    singles = [s(root, jnp.int32(4), atlas) for s in single_fns]
+    match = [
+        np.array_equal(np.asarray(a["flow0"]), np.asarray(s["flow0"]))
+        for s in singles
+    ]
+    assert sum(match) == 1
+    # Both ingredients appear over a window of steps.
+    picked = set()
+    for t in range(12):
+        out = fn(root, jnp.int32(t), atlas)
+        for i, sf in enumerate(single_fns):
+            if np.array_equal(
+                np.asarray(out["flow0"]),
+                np.asarray(sf(root, jnp.int32(t), atlas)["flow0"]),
+            ):
+                picked.add(i)
+        if picked == {0, 1}:
+            break
+    assert picked == {0, 1}
+
+    # Signature mismatch is rejected.
+    import pytest as _pytest
+
+    bad = flowgen.DataGenConfig(mode=1, batch_size=4, width=128, height=96)
+    with _pytest.raises(ValueError):
+        make_mixed_generate_fn([cfgs[0], bad])
