@@ -114,6 +114,51 @@ def main():
         report("sampling + all precompute", pipelined(prep_all, root, step,
                                                       atlas))
 
+    if "prep" in sections:
+        # Subtraction-free terms: each stage from CONCRETE inputs.
+        from flowgen.random import streams as streams_mod
+        from flowgen.config import MAX_OBJECTS
+
+        from flowgen.config import MAX_COMPONENTS
+
+        n_scopes = 1 + MAX_OBJECTS + MAX_OBJECTS * MAX_COMPONENTS
+
+        @jax.jit
+        def bits_only(root, step):
+            def one(i):
+                sk = streams_mod.sample_key(root, i)
+                return streams_mod.sample_bits_table(sk, n_scopes)
+            return jax.vmap(one)(step * BATCH + indices)
+
+        report("  bits tables only", pipelined(bits_only, root, step))
+
+        scenes_c = jax.block_until_ready(sample_only(root, step))
+
+        @jax.jit
+        def prep_obj_only(scenes):
+            return jax.vmap(
+                lambda s: fused_mod.prepare_scene_inputs(s, cfg, 32)
+            )(scenes)
+
+        @jax.jit
+        def bg_flow_only(scenes):
+            return jax.vmap(
+                lambda s: render_mod.background_flow(s, cfg)
+            )(scenes)
+
+        @jax.jit
+        def bgm_only(scenes):
+            return jax.vmap(
+                lambda s: fused_mod._bg_meta_payload(
+                    s, cfg, atlas.shape[1], atlas.shape[2]
+                )
+            )(scenes)
+
+        report("  object precompute only", pipelined(prep_obj_only, scenes_c))
+        report("  background flow init only", pipelined(bg_flow_only,
+                                                        scenes_c))
+        report("  bg meta payload only", pipelined(bgm_only, scenes_c))
+
     if "kernel" in sections:
         inputs = jax.block_until_ready(prep_all(root, step, atlas))
         P, PBG, xs, ys = ps.resample_params(cfg.mode_spec, H, W)
