@@ -127,12 +127,23 @@ def flatten_outline(verts, types, n):
     """
     S = MAX_SPOKES
     e = jnp.arange(S)
-    a = (e + 1) % n
-    ve = verts[e % n]
-    va = verts[a]
-    vprev = verts[(e - 1) % n]
-    vnext = verts[(a + 1) % n]
-    ta = types[a]
+    # Wrap-around neighbors via static rolls + boundary selects instead of
+    # mod-index gathers: verts[(e+k) % n] costs a 20-row hardware gather per
+    # primitive (~490k gather rows per batch across B*K*(1+C) primitives),
+    # while jnp.roll is a free layout shuffle. Only rows e < n are ever kept
+    # by the compaction below, and for those the select form is exact.
+    last = e == n - 1
+    ve = verts
+    va = jnp.where(last[:, None], verts[0], jnp.roll(verts, -1, axis=0))
+    vprev = jnp.where((e == 0)[:, None], verts[n - 1],
+                      jnp.roll(verts, 1, axis=0))
+    vnext = jnp.where(
+        last[:, None], verts[1],
+        jnp.where((e == n - 2)[:, None], verts[0],
+                  jnp.roll(verts, -2, axis=0)),
+    )
+    ta = jnp.where(last, types[0], jnp.roll(types, -1, axis=0))
+    a_nonzero = ~last  # a = (e+1)%n is 0 exactly when e == n-1
 
     t = (jnp.arange(EDGE_SUBDIV, dtype=jnp.float32) / EDGE_SUBDIV)[None, :, None]
 
@@ -144,8 +155,8 @@ def flatten_outline(verts, types, n):
     first_half = bezier(ve, va, vnext, t * 0.5)       # arrival vertex is a control pt
     second_half = bezier(vprev, ve, va, 0.5 + t * 0.5)
 
-    case_cfirst = (ta == SEG_CURVE) & (a != 0)
-    case_csecond = (ta == SEG_DUMMY) & (a != 0)
+    case_cfirst = (ta == SEG_CURVE) & a_nonzero
+    case_csecond = (ta == SEG_DUMMY) & a_nonzero
     is_curve_slot = case_cfirst | case_csecond
     pts = jnp.where(
         case_cfirst[:, None, None],
@@ -153,23 +164,34 @@ def flatten_outline(verts, types, n):
         jnp.where(case_csecond[:, None, None], second_half, line_pts),
     )
 
-    sub = jnp.arange(EDGE_SUBDIV)[None, :]
-    keep = (e < n)[:, None] & (is_curve_slot[:, None] | (sub == 0))
-    keep = keep.reshape(MAX_EDGES)
-    pts = pts.reshape(MAX_EDGES, 2)
-
-    n_pts = jnp.sum(keep).astype(jnp.int32)
-    # Compaction as an exact one-hot permutation matmul: kept slot e lands at
-    # output row cumsum(keep)-1. A sort+gather formulation costs an argsort
-    # plus ~120 gather rows per primitive (~8 ms/batch across B*K*C prims);
-    # the one-hot contraction is MXU work and each output is a single exact
-    # term (Precision.HIGHEST keeps the f32 coordinates un-rounded).
-    pos = jnp.cumsum(keep) - 1
-    onehot = (
-        (pos[None, :] == jnp.arange(MAX_EDGES)[:, None]) & keep[None, :]
+    # Compaction as an exact FACTORED one-hot contraction. Kept points are
+    # contiguous per spoke (curve slots keep all EDGE_SUBDIV subdivisions,
+    # line slots keep sub 0 only), so output row j maps to the unique spoke
+    # whose [start, cum) interval contains j, at sub-offset j - start. A flat
+    # 120x120 permutation matmul is exact too but materializes a
+    # (B*K*(1+C), 120, 120) f32 mask (~350 MB of HBM traffic per batch);
+    # the (120, S) spoke one-hot is 6x smaller and the sub-offset select is
+    # pure VPU. Every output is still a single exact term (one 1.0 per row;
+    # Precision.HIGHEST keeps the f32 coordinates un-rounded).
+    per_spoke = jnp.where(is_curve_slot, EDGE_SUBDIV, 1) * (e < n)
+    cum = jnp.cumsum(per_spoke)
+    start = cum - per_spoke
+    n_pts = cum[-1].astype(jnp.int32)
+    j = jnp.arange(MAX_EDGES)
+    oh = (
+        (start[None, :] <= j[:, None]) & (j[:, None] < cum[None, :])
     ).astype(jnp.float32)
-    pts = jnp.matmul(onehot, pts, precision=jax.lax.Precision.HIGHEST)
-    pts = jnp.where((jnp.arange(MAX_EDGES) < n_pts)[:, None], pts, pts[0])
+    g = jnp.matmul(oh, pts.reshape(S, EDGE_SUBDIV * 2),
+                   precision=jax.lax.Precision.HIGHEST)
+    start_j = jnp.sum(oh * start[None, :].astype(jnp.float32), axis=1)
+    curve_j = jnp.sum(oh * is_curve_slot[None, :].astype(jnp.float32), axis=1)
+    off = jnp.where(curve_j > 0, j - start_j.astype(jnp.int32), 0)
+    sel = (off[:, None] == jnp.arange(EDGE_SUBDIV)[None, :]).astype(
+        jnp.float32
+    )
+    pts = jnp.sum(g.reshape(MAX_EDGES, EDGE_SUBDIV, 2) * sel[..., None],
+                  axis=1)
+    pts = jnp.where((j < n_pts)[:, None], pts, pts[0])
     return pts, n_pts
 
 
