@@ -1176,7 +1176,7 @@ def scene_render_pallas(
     bg_w = _pad128(BGM_SIZE)
     bgm_f = flat(bgm.astype(jnp.float32), bg_w)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     # The rows buffer stages both object and background slab rows.
     rows_w = max(SWs, SWb)
     scratch = [
