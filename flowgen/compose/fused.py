@@ -201,7 +201,7 @@ def envelope_violations(scenes: Scene, cfg: DataGenConfig, bgm=None):
     H, W = cfg.height, cfg.width
     spec = cfg.mode_spec
     wh, ww = min(ps.WIN_H, H), min(ps.WIN_W, W)
-    P, PBG, xs, ys = ps.resample_params(spec, H, W)
+    P, PBG, xs, ys, xsb, ysb = ps.resample_params(spec, H, W)
     chunk = float(min(resamp.PASS1_CHUNK, max(P, PBG)))
     xchunk = float(min(128, ww))
     quadrant = ps.quadrant_needed(spec)
@@ -226,7 +226,7 @@ def envelope_violations(scenes: Scene, cfg: DataGenConfig, bgm=None):
         t1 = bgm[:, 6:12].reshape(-1, 2, 3)
         span, xsn, ysn = _span_requirements(t1, wh, ww, chunk, xchunk)
         n = n + jnp.sum(
-            ((span > PBG) | (xsn > xs) | (ysn > ys)).astype(jnp.int32)
+            ((span > PBG) | (xsn > xsb) | (ysn > ysb)).astype(jnp.int32)
         )
     return n
 
@@ -472,11 +472,11 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
     if has_warp:
         obj_aux, bg_aux = warp_aux
 
-    P, PBG, xs, ys = ps.resample_params(spec, H, W)
+    P, PBG, xs, ys, xsb, ysb = ps.resample_params(spec, H, W)
     frames, flow, ids = ps.scene_render_pallas(
         count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges,
         slabs, bgslabs, flow_init, obj_aux, bg_aux,
-        spec_key=(P, PBG, xs, ys, H, W),
+        spec_key=(P, PBG, xs, ys, xsb, ysb, H, W),
         use_aa=cfg.use_antialiasing,
         inverse_flow=cfg.compute_inverse_flow,
         emit_masks=cfg.emit_masks,

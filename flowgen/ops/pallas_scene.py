@@ -280,12 +280,24 @@ def fused_eligible(spec, height: int, width: int,
     )
 
 
+def _scan_counts(rot: float, inv_s: float, rows: int, ww: int):
+    a_max = inv_s / math.cos(rot)
+    b_max = math.tan(rot)
+    c_max = math.sin(rot) * inv_s
+    d_max = inv_s
+    xs = resamp.scan_tiles_pass1(
+        a_max, b_max, min(resamp.PASS1_CHUNK, rows)
+    )
+    ys = resamp.scan_tiles_pass2(c_max, d_max, min(128, ww))
+    return xs, ys
+
+
 def resample_params(spec, height: int, width: int):
-    """Static (P_obj, P_bg, x_tiles_scan, y_tiles_scan): separate pass-1 row
-    spans for the object motion envelope and the (usually much tighter)
-    background texture chain — the background's row DMA and pass-1 compute
-    shrink accordingly. Scan counts are shared (max of both envelopes, sized
-    for the pass-1 row chunk, not the full span)."""
+    """Static (P_obj, P_bg, x_scan, y_scan, x_scan_bg, y_scan_bg): separate
+    pass-1 row spans AND banded scan counts for the object motion envelope
+    and the (usually much tighter) background texture chain — the
+    background's row DMA, pass-1 compute, and per-block scan loops all
+    shrink to its own envelope (mode 7: 3/3 vs the objects' 4/4)."""
     wh, ww = min(WIN_H, height), min(WIN_W, width)
     rot_o, inv_o = mode_envelope(spec, height, width)
     # Quadrant factoring caps the residual rotation at 45 deg (see
@@ -294,17 +306,9 @@ def resample_params(spec, height: int, width: int):
     rot_b, inv_b = bg_envelope(spec)
     P = resamp.max_row_span(wh, ww, rot_o + 1e-6, inv_o)
     PBG = resamp.max_row_span(wh, ww, rot_b + 1e-6, inv_b)
-    rot = max(rot_o, rot_b)
-    inv_s = max(inv_o, inv_b)
-    a_max = inv_s / math.cos(rot)
-    b_max = math.tan(rot)
-    c_max = math.sin(rot) * inv_s
-    d_max = inv_s
-    xs = resamp.scan_tiles_pass1(
-        a_max, b_max, min(resamp.PASS1_CHUNK, max(P, PBG))
-    )
-    ys = resamp.scan_tiles_pass2(c_max, d_max, min(128, ww))
-    return P, PBG, xs, ys
+    xs, ys = _scan_counts(rot_o, inv_o, P, ww)
+    xsb, ysb = _scan_counts(rot_b, inv_b, PBG, ww)
+    return P, PBG, xs, ys, xsb, ysb
 
 
 def _unpack3f(v):
@@ -324,8 +328,9 @@ def _pack3f(r, g, b):
 
 
 def _make_scene_kernel(
-    H, W, K, C, E, EP, P, PBG, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
-    inverse_flow, has_warp=False, emit_masks=False, debug_level=3,
+    H, W, K, C, E, EP, P, PBG, xscan, yscan, xscanb, yscanb, SHs, SWs, SHb,
+    SWb, use_aa, inverse_flow, has_warp=False, emit_masks=False,
+    debug_level=3,
 ):
     wh, ww = min(WIN_H, H), min(WIN_W, W)
     whE = min(wh + 2 * WARP_EY, H)
@@ -574,10 +579,11 @@ def _make_scene_kernel(
             B_ = m01 / m11
             return (m00 - B_ * m10, B_, m02 - B_ * m12, m10, m11, m12)
 
-        def sample_plane_affine(slot, ch, coeffs, y0, x0):
+        def sample_plane_affine(slot, ch, coeffs, y0, x0, xsc=None, ysc=None):
             """One (wh, ww) window of warp-aux plane ``ch`` sampled through an
             output->plane affine (two-pass split coeffs) — zero hardware
-            gathers. The planes are (H, W); stage min(P, H) rows."""
+            gathers. The planes are (H, W); stage min(P, H) rows. ``xsc``/
+            ``ysc`` override the scan counts (default: object envelope)."""
             PF = min(P, H)
             w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, PF, H)
             fdma = pltpu.make_async_copy(
@@ -589,7 +595,7 @@ def _make_scene_kernel(
             fdma.wait()
             return resamp.resample_rows_f32(
                 frows.at[:PF], w0, coeffs, x0, y0, wh, ww, PF,
-                ft1.at[:PF], t1t, outt, xscan, yscan, sw=W,
+                ft1.at[:PF], t1t, outt, xsc or xscan, ysc or yscan, sw=W,
             )
 
         def sample_wf_at_moved(k, frame, slot, ch, y0, x0):
@@ -841,11 +847,13 @@ def _make_scene_kernel(
                         ofy * mi + wy * (1.0 - mi)
                     )
 
-        def resample_bg_window(frame, oy, ox):
-            """(wh, ww) window of the plain (affine) background at frame-coord
-            origin (oy, ox) — randomized crop chain (+ inverse big motion for
-            frame 1), reflect fold chosen in-kernel at the window center
-            (MovingObjectBackground, cpp:654-688)."""
+        def bg_window_dma(frame, oy, ox, rows_ref, sem):
+            """DMA descriptor + resample coeffs for one plain-background
+            window at frame-coord origin (oy, ox) — randomized crop chain
+            (+ inverse big motion for frame 1), reflect fold chosen in-kernel
+            at the window center (MovingObjectBackground, cpp:654-688).
+            Recreated at wait time from the same SMEM scalars (the standard
+            double-buffer idiom, as the object units)."""
             base = BGM_T0 if frame == 0 else BGM_T1
             aff = tuple(bgm[0, base + j] for j in range(6))
             coeffs = scalar_fold_coeffs(
@@ -858,22 +866,43 @@ def _make_scene_kernel(
             )
             bdma = pltpu.make_async_copy(
                 bgslabs_hbm.at[btid, pl.ds(w0, PBG), :],
-                rows0.at[:PBG, :SWb],
-                sems.at[4],
+                rows_ref.at[:PBG, :SWb],
+                sem,
             )
-            bdma.start()
-            bdma.wait()
-            return resamp.resample_rows_in_kernel(
-                rows0, w0, coeffs, jnp.int32(ox), jnp.int32(oy),
-                wh, ww, PBG, t1, t1t, outt, xscan, yscan, sw=SWb,
-            )
+            return bdma, coeffs, w0
 
-        def plain_bg_tiles(frame, acc_frame):
-            for (y0s, x0s) in bg_tiles:
-                tr, tg, tb = resample_bg_window(frame, y0s, x0s)
+        def bg_tiles_pipelined(units):
+            """Render a static list of background windows ``(frame, oy, ox,
+            writer)`` with the tile i+1 row DMA in flight while tile i
+            resamples (the background was the last serial start();wait()
+            consumer in the kernel). ``writer(tr, tg, tb)`` commits one
+            window's three channel planes."""
+            slots = ((rows0, sems.at[4]), (rows1, sems.at[5]))
+            bg_window_dma(*units[0][:3], *slots[0])[0].start()
+            for i, (frame, oy, ox, writer) in enumerate(units):
+                rows_ref, sem = slots[i % 2]
+                if i + 1 < len(units):
+                    nf, ny, nx, _ = units[i + 1]
+                    bg_window_dma(nf, ny, nx, *slots[1 - i % 2])[0].start()
+                bdma, coeffs, w0 = bg_window_dma(frame, oy, ox, rows_ref, sem)
+                bdma.wait()
+                writer(*resamp.resample_rows_in_kernel(
+                    rows_ref, w0, coeffs, jnp.int32(ox), jnp.int32(oy),
+                    wh, ww, PBG, t1, t1t, outt, xscanb, yscanb, sw=SWb,
+                ))
+
+        def acc_writer(acc_frame, y0s, x0s):
+            def write(tr, tg, tb):
                 acc_frame[y0s : y0s + wh, x0s : x0s + ww] = _pack3f(
                     jnp.round(tr), jnp.round(tg), jnp.round(tb)
                 )
+            return write
+
+        def plain_bg_units(frame, acc_frame):
+            return [
+                (frame, y0s, x0s, acc_writer(acc_frame, y0s, x0s))
+                for (y0s, x0s) in bg_tiles
+            ]
 
         def render_background():
             """Both background frames into the accumulators. Nonrigid samples
@@ -885,29 +914,37 @@ def _make_scene_kernel(
             displacement read at big coords = frame + center). The forward
             field's flow contribution is added over the whole frame before
             any object overwrites it (getPointFlow cpp:714-717)."""
-            plain_bg_tiles(0, acc0)
             if not has_warp:
-                plain_bg_tiles(1, acc1)
+                bg_tiles_pipelined(
+                    plain_bg_units(0, acc0) + plain_bg_units(1, acc1)
+                )
                 return
+            bg_tiles_pipelined(plain_bg_units(0, acc0))
             bgw = smeta[0, 2 + K] != 0
             slot = smeta[0, 3 + K]
 
             @pl.when(jnp.logical_not(bgw))
             def _():
-                plain_bg_tiles(1, acc1)
+                bg_tiles_pipelined(plain_bg_units(1, acc1))
 
             @pl.when(bgw)
             def _():
                 # Plain frame 1 on the extended grid (margins >= the x2
                 # field's displacement bound).
-                for (eys, exs) in bg_ext_tiles:
-                    tr, tg, tb = resample_bg_window(1, eys, exs)
-                    for ch, v in enumerate((tr, tg, tb)):
-                        bgwork[
-                            ch,
-                            eys + BG_EY : eys + BG_EY + wh,
-                            exs + BG_EX : exs + BG_EX + ww,
-                        ] = v
+                def work_writer(eys, exs):
+                    def write(tr, tg, tb):
+                        for ch, v in enumerate((tr, tg, tb)):
+                            bgwork[
+                                ch,
+                                eys + BG_EY : eys + BG_EY + wh,
+                                exs + BG_EX : exs + BG_EX + ww,
+                            ] = v
+                    return write
+
+                bg_tiles_pipelined([
+                    (1, eys, exs, work_writer(eys, exs))
+                    for (eys, exs) in bg_ext_tiles
+                ])
                 # Displace per output tile via the precomputed
                 # column-inverse-corrected bg planes (bgaux).
                 for (y0s, x0s) in bg_tiles:
@@ -964,14 +1001,16 @@ def _make_scene_kernel(
                         & (mvy >= 0) & (mvy < 2.0 * H)
                     ).astype(jnp.float32)
                     wfx = sample_plane_affine(
-                        slot, 2, faff, jnp.int32(y0s), jnp.int32(x0s)
+                        slot, 2, faff, jnp.int32(y0s), jnp.int32(x0s),
+                        xscanb, yscanb,
                     )
                     accf[0, y0s : y0s + wh, x0s : x0s + ww] = (
                         accf[0, y0s : y0s + wh, x0s : x0s + ww]
                         + 2.0 * wfx * inb
                     )
                     wfy = sample_plane_affine(
-                        slot, 3, faff, jnp.int32(y0s), jnp.int32(x0s)
+                        slot, 3, faff, jnp.int32(y0s), jnp.int32(x0s),
+                        xscanb, yscanb,
                     )
                     accf[1, y0s : y0s + wh, x0s : x0s + ww] = (
                         accf[1, y0s : y0s + wh, x0s : x0s + ww]
@@ -1109,13 +1148,13 @@ def scene_render_pallas(
     their last two dims to (8, 128), which inflates these tables ~50x past
     the 1 MB SMEM budget).
 
-    ``spec_key``: hashable (P, PBG, xscan, yscan, H, W) static tuple from
-    ``resample_params`` + frame dims. Returns (frames (B,2,H,W) i32,
-    flow (B,2 or 4,H,W) f32).
+    ``spec_key``: hashable (P, PBG, xscan, yscan, xscanb, yscanb, H, W)
+    static tuple from ``resample_params`` + frame dims. Returns
+    (frames (B,2,H,W) i32, flow (B,2 or 4,H,W) f32).
     """
     from ..config import MAX_COMPONENTS, MAX_EDGES
 
-    P, PBG, xscan, yscan, H, W = spec_key
+    P, PBG, xscan, yscan, xscanb, yscanb, H, W = spec_key
     B, K = order.shape
     EP = edges.shape[-1]
     C = MAX_COMPONENTS
@@ -1134,8 +1173,8 @@ def scene_render_pallas(
     Wp = _round_up(W, 128)
 
     kernel = _make_scene_kernel(
-        H, W, K, C, E, EP, P, PBG, xscan, yscan, SHs, SWs, SHb, SWb, use_aa,
-        inverse_flow, has_warp, emit_masks, debug_level,
+        H, W, K, C, E, EP, P, PBG, xscan, yscan, xscanb, yscanb, SHs, SWs,
+        SHb, SWb, use_aa, inverse_flow, has_warp, emit_masks, debug_level,
     )
 
     # Flatten + pad the metadata to (B, mult-of-128) HBM rows.
