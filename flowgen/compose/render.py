@@ -91,9 +91,35 @@ def prepare_atlas(atlas):
     return jax.vmap(texture.make_quad)(atlas)
 
 
-def _sample_warp_crop(bank: WarpBank, slot):
-    f = lax.dynamic_index_in_dim(bank.flow, slot, axis=0, keepdims=False)
-    i = lax.dynamic_index_in_dim(bank.iflow, slot, axis=0, keepdims=False)
+class WarpPlanes(NamedTuple):
+    """Channel-split warp bank: four (N, H, W) planes. TPU tiled layouts pad
+    the last two dims to (8, 128), so any xy-minor (..., 2) array carries a
+    64x physical footprint; carrying the bank's (N, H, W, 2) arrays into the
+    per-sample render loop makes XLA materialize whole-bank copies in that
+    layout (2 x 7.5 GB for a reference-diversity 80-slot 384x512 bank — an
+    HBM OOM). Split once outside the loop, the bank stays at its unpadded
+    size and per-object slices touch single planes."""
+
+    fx: jax.Array
+    fy: jax.Array
+    ix: jax.Array
+    iy: jax.Array
+
+
+def _bank_planes(bank):
+    """Normalize a WarpBank to WarpPlanes (idempotent, None-transparent)."""
+    if bank is None or isinstance(bank, WarpPlanes):
+        return bank
+    return WarpPlanes(
+        fx=bank.flow[..., 0], fy=bank.flow[..., 1],
+        ix=bank.iflow[..., 0], iy=bank.iflow[..., 1],
+    )
+
+
+def _sample_warp_crop(planes: WarpPlanes, slot):
+    sl = lambda p: lax.dynamic_index_in_dim(p, slot, axis=0, keepdims=False)
+    f = jnp.stack([sl(planes.fx), sl(planes.fy)], axis=-1)
+    i = jnp.stack([sl(planes.ix), sl(planes.iy)], axis=-1)
     return f, i
 
 
@@ -265,6 +291,7 @@ def background_pass(scene: Scene, atlas: jax.Array, cfg: DataGenConfig,
     H, W = cfg.height, cfg.width
     SH, SW = atlas.shape[1], atlas.shape[2]
     has_warp = warp_bank is not None and cfg.mode_spec.warp_p > 0.0
+    warp_bank = _bank_planes(warp_bank)
     ix, iy = raster.pixel_grid(W, H, 0.0)      # integer coords (flow/texture)
     cx, cy = W / 2.0, H / 2.0
     bg = scene.background
@@ -387,6 +414,7 @@ def render_sample(
     SH, SW = atlas.shape[1], atlas.shape[2]
     use_pallas = _pallas_enabled(cfg)
     has_warp = warp_bank is not None and cfg.mode_spec.warp_p > 0.0
+    warp_bank = _bank_planes(warp_bank)
 
     frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = background_pass(
         scene, atlas, cfg, warp_bank
@@ -666,6 +694,9 @@ def render_batch(scenes: Scene, atlas, cfg: DataGenConfig, warp_bank=None):
     a device-filling program (~200k pixels x objects x edges), and sequential
     mapping keeps lax.cond object-skipping effective — under vmap, cond
     degrades to select and every branch would run for every sample."""
+    # Split OUTSIDE the sample loop: carrying the xy-minor bank arrays into
+    # the loop makes XLA copy the whole bank into the 64x-padded layout.
+    warp_bank = _bank_planes(warp_bank)
 
     def one(scene):
         out = render_sample(scene, atlas, cfg, warp_bank)

@@ -195,9 +195,22 @@ def main():
             f"{'OK' if ok2 else 'FAIL'}",
             flush=True,
         )
-    if json_out:
-        with open(json_out, "w") as f:
-            json.dump({"results": results, "ok": failures == 0}, f)
+        if json_out:
+            # Written after EVERY mode (merging into any modes already in the
+            # file): per-mode wall time through the tunneled backend is many
+            # minutes, and a killed run should not lose finished results.
+            merged = results
+            if os.path.exists(json_out):
+                with open(json_out) as f:
+                    merged = {**json.load(f).get("results", {}), **results}
+            with open(json_out, "w") as f:
+                json.dump(
+                    {
+                        "results": merged,
+                        "ok": all(r["ok"] for r in merged.values()),
+                    },
+                    f,
+                )
     sys.exit(1 if failures else 0)
 
 
