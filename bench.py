@@ -52,6 +52,10 @@ def _measure(fn, probe, root, atlas, batch, n_steps, base=1):
 def _measure_pipelined(fn, probe, root, atlas, batch, n_steps, base=100):
     import jax.numpy as jnp
 
+    # Cap the dispatch depth so the queued steps' un-retrieved outputs
+    # (~6 MB/sample) stay within ~3 GB of HBM: deeper queues OOM at large
+    # batch and a real prefetching consumer holds only a few steps anyway.
+    n_steps = min(n_steps, max(4, int(3e9 / (6.2e6 * batch))))
     t0 = time.perf_counter()
     outs = [fn(root, jnp.int32(base + i), atlas) for i in range(n_steps)]
     float(probe(outs[-1]))
@@ -88,7 +92,12 @@ def main():
     import flowgen
 
     argc = len(sys.argv)
-    batch = int(sys.argv[2]) if argc > 2 else 32
+    # Default batch 64 = BASELINE.md milestone config 5 ("64-pair batches
+    # streamed on-device"); the per-step figure includes one host<->device
+    # round trip per step (~35 ms through the tunneled dev backend), so the
+    # batch size sets how far that fixed cost amortizes. The payload records
+    # the batch; the pipelined figure is batch-insensitive (device-bound).
+    batch = int(sys.argv[2]) if argc > 2 else 64
     cfg = flowgen.DataGenConfig(batch_size=batch, seed=0)
     atlas_np = flowgen.procedural_atlas(32, height=cfg.height, width=cfg.width)
 
@@ -116,14 +125,35 @@ def main():
     # Pipelined mode 7 reuses the compiled step (cheap); the secondary modes
     # each pay a fresh compile, so the budget guard walks the priority list
     # 9 > 1 > 11 > 13 and stops before blowing the harness budget — the
-    # payload stays one JSON line regardless of where it stops.
-    rate7, pipe7, spread7 = _bench_mode(7, batch, 16, atlas_np, pipelined=True)
+    # payload stays one JSON line regardless of where it stops. The tunneled
+    # dev backend intermittently fails a readback mid-session
+    # (FAILED_PRECONDITION), so the headline retries and a failed secondary
+    # mode is skipped rather than killing the artifact.
+    last_err = None
+    for attempt in range(3):
+        try:
+            rate7, pipe7, spread7 = _bench_mode(
+                7, batch, 16, atlas_np, pipelined=True
+            )
+            break
+        except Exception as e:  # noqa: BLE001 — backend flake, retry
+            last_err = e
+            time.sleep(20)
+    else:
+        raise last_err
     modes = {"7": round(rate7, 2)}
-    for m, steps, budget_s in ((9, 6, 480), (1, 6, 480), (11, 6, 480),
-                               (13, 6, 480)):
+    # Staggered start-deadlines: each secondary mode pays a fresh multi-
+    # minute compile, and the ladder guarantees the artifact keeps mode 9
+    # first while still reaching 13 on a warm machine (VERDICT r2 flagged
+    # the unmeasured slow modes).
+    for m, steps, budget_s in ((9, 6, 480), (1, 6, 600), (11, 6, 720),
+                               (13, 6, 900)):
         if time.time() - t_start > budget_s:
             break
-        r, _, _ = _bench_mode(m, batch, steps, atlas_np)
+        try:
+            r, _, _ = _bench_mode(m, batch, steps, atlas_np)
+        except Exception:  # noqa: BLE001 — skip the mode, keep the payload
+            continue
         modes[str(m)] = round(r, 2)
     print(
         json.dumps(

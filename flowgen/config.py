@@ -335,12 +335,16 @@ class DataGenConfig:
     # reference emits raw renders and left this to separate Caffe layers.
     photometric_augment: bool = False
     # Warp-field bank sizing (mode 9); see flowgen/warpfields/generator.py.
-    # Defaults give ~9x reuse per crop at 512x384/batch-32 (the reference
+    # None derives max(2, batch_size // 16), which keeps per-crop reuse at
+    # ~9x per bank epoch INDEPENDENT of batch size at 512x384 (the reference
     # serves each crop 3x from continuously-produced fields,
     # WarpFields.cpp:516-538; tests/test_warpfields.py pins the reuse bound).
     # Affordable because the bank composes through the banded Mosaic kernels
     # on TPU (warpfields/pallas_fields.py), ~10x cheaper than dense gathers.
-    warp_fields_per_batch: int = 2
+    # Note the sharded path replaces batch_size AFTER this resolves
+    # (pipeline/sharding.py), so the bank stays global and mode-9 content is
+    # device-count invariant.
+    warp_fields_per_batch: int | None = None
     # Regenerate the warp-crop bank every N steps (the reference amortizes its
     # expensive 1536^2 composed fields by reusing each crop 3x across a shared
     # queue, WarpFields.cpp:516-538; keying the bank by step//N is the
@@ -365,6 +369,10 @@ class DataGenConfig:
     validate_envelope: str = "auto"
 
     def __post_init__(self):
+        if self.warp_fields_per_batch is None:
+            object.__setattr__(
+                self, "warp_fields_per_batch", max(2, self.batch_size // 16)
+            )
         if self.mode not in MODES:
             if 101 <= self.mode <= 113 and (self.mode - 100) in MODES:
                 disparity_mode(self.mode - 100)   # auto-register 10x ids
