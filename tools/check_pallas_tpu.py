@@ -33,6 +33,26 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import numpy as np
 
 
+def _retry(fn, attempts=3):
+    """Re-run ``fn`` on tunneled-backend flakes (FAILED_PRECONDITION).
+
+    The dev TPU tunnel intermittently fails a device->host readback
+    mid-session; the computation itself is deterministic, so a retry with
+    the same operands is safe and usually succeeds.
+    """
+    import time
+
+    last = None
+    for i in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — backend flake, retry
+            last = e
+            print(f"  retry {i + 1}/{attempts} after: {e}", flush=True)
+            time.sleep(15)
+    raise last
+
+
 def _fused_outputs(scenes, slabs, bgslabs, src_hw, cfg, warp_aux, device,
                    interpret):
     import jax
@@ -114,9 +134,9 @@ def main():
         src_hw = (cfg.height, cfg.width)
 
         # ---- 1: compiled Mosaic (TPU) vs interpreter (CPU) ----
-        out_tpu = _fused_outputs(
+        out_tpu = _retry(lambda: _fused_outputs(
             scenes, slabs, bgslabs, src_hw, cfg, warp_aux, tpu, False
-        )
+        ))
         out_cpu = _fused_outputs(
             scenes, slabs, bgslabs, src_hw, cfg, warp_aux, cpu, True
         )
@@ -148,10 +168,10 @@ def main():
                 mode=mode, batch_size=4, seed=3, use_pallas=up
             )
             fn = flowgen.make_generate_fn(c2)
-            outs[up] = {
+            outs[up] = _retry(lambda: {
                 k: np.asarray(v)
                 for k, v in fn(root_key(3), jnp.int32(1), atlas).items()
-            }
+            })
         dflow2 = np.abs(outs["never"]["flow0"] - outs["always"]["flow0"])
         dmed = max(
             float(np.median(np.abs(outs["never"][k] - outs["always"][k])))
