@@ -80,6 +80,7 @@ class RenderOutput(NamedTuple):
     image1: jax.Array   # (H, W, 3) float32 in [0, 255]
     flow0: jax.Array    # (H, W, 2) forward flow, pixels
     flow1: Optional[jax.Array]  # (H, W, 2) inverse flow or None
+    ids: Optional[jax.Array] = None  # (2, H, W) int32 index images or None
 
 
 def prepare_atlas(atlas):
@@ -415,10 +416,25 @@ def render_sample(
     use_pallas = _pallas_enabled(cfg)
     has_warp = warp_bank is not None and cfg.mode_spec.warp_p > 0.0
     warp_bank = _bank_planes(warp_bank)
+    emit_ids = cfg.emit_masks
+    # The per-object fused kernel (object_window_pallas) does not carry an id
+    # plane; with emit_masks the composed (XLA) branches run for every object
+    # so the painter's index images (RenderCore cpp:740-774) can be written.
+    # This path is the capability fallback, not the hot path — the scene
+    # megakernel emits ids natively (ops/pallas_scene.py write_ids).
+    use_pallas_obj = use_pallas and not emit_ids
 
     frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = background_pass(
         scene, atlas, cfg, warp_bank
     )
+    if emit_ids:
+        from ..config import BACKGROUND_OBJ_ID, FOREGROUND_ID_BASE
+
+        # Background id everywhere (bg masks are all-255, cpp:654-718).
+        ids0 = jnp.full((H, W), BACKGROUND_OBJ_ID, jnp.int32)
+        ids1 = jnp.full((H, W), BACKGROUND_OBJ_ID, jnp.int32)
+    else:
+        ids0 = ids1 = None
 
     # Drop window classes that don't fit the configured frame (small frames
     # fall straight through to full-frame evaluation).
@@ -455,7 +471,12 @@ def render_sample(
     crop_x0 = (SW - W) // 2
 
     def blit(i, state):
-        frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = state
+        if emit_ids:
+            (frame0, frame1, flow_x, flow_y, iflow_x, iflow_y,
+             ids0, ids1) = state
+        else:
+            frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = state
+            ids0 = ids1 = None
         k = order[i]
         motion_k = objs.motion[k]
         motion_inv_k = objs.motion_inv[k]
@@ -483,7 +504,10 @@ def render_sample(
             full = wh == H and ww == W
 
             def branch(ops):
-                frame0, flow_x, flow_y = ops
+                if emit_ids:
+                    frame0, flow_x, flow_y, ids0 = ops
+                else:
+                    frame0, flow_x, flow_y = ops
                 if full:
                     y0 = jnp.int32(0)
                     x0 = jnp.int32(0)
@@ -496,6 +520,10 @@ def render_sample(
                 f0_w = lax.dynamic_slice(frame0, (y0, x0, 0), (wh, ww, 3))
                 fx_w = lax.dynamic_slice(flow_x, (y0, x0), (wh, ww))
                 fy_w = lax.dynamic_slice(flow_y, (y0, x0), (wh, ww))
+                id_w = (
+                    lax.dynamic_slice(ids0, (y0, x0), (wh, ww))
+                    if emit_ids else None
+                )
 
                 def fused(args):
                     # Entire window pass (multi-primitive coverage, mask
@@ -512,7 +540,11 @@ def render_sample(
                     return f0_w, fl_w[..., 0], fl_w[..., 1]
 
                 def composed(args):
-                    f0_w, fx_w, fy_w = args
+                    if emit_ids:
+                        f0_w, fx_w, fy_w, id_w = args
+                    else:
+                        f0_w, fx_w, fy_w = args
+                        id_w = None
                     wpx, wpy = _window_grids(y0, x0, wh, ww)
                     aa0, in0 = _frame_coverage(
                         prims, k, motion_k, 0, wpx + 0.5, wpy + 0.5, n_prims_k,
@@ -536,21 +568,35 @@ def render_sample(
                         ofy = ofy + jnp.where(inb, wfy, 0.0)
                     fx_w = jnp.where(in0, ofx, fx_w)
                     fy_w = jnp.where(in0, ofy, fy_w)
+                    if emit_ids:
+                        from ..config import FOREGROUND_ID_BASE
+
+                        # Index paint where the binary mask fully covers
+                        # (blitObject, cpp:765-774).
+                        id_w = jnp.where(in0, FOREGROUND_ID_BASE + k, id_w)
+                        return f0_w, fx_w, fy_w, id_w
                     return f0_w, fx_w, fy_w
 
-                args = (f0_w, fx_w, fy_w)
-                if use_pallas and not has_warp:
+                args = (f0_w, fx_w, fy_w) + ((id_w,) if emit_ids else ())
+                if use_pallas_obj and not has_warp:
                     f0_w, fx_w, fy_w = fused(args)
-                elif use_pallas and has_warp:
+                elif use_pallas_obj and has_warp:
                     # Only actually-deforming objects take the warp path
                     # (~warp_p of them); the rest use the fused kernel.
                     f0_w, fx_w, fy_w = lax.cond(warping, composed, fused, args)
                 else:
-                    f0_w, fx_w, fy_w = composed(args)
+                    out = composed(args)
+                    if emit_ids:
+                        f0_w, fx_w, fy_w, id_w = out
+                    else:
+                        f0_w, fx_w, fy_w = out
 
                 frame0 = lax.dynamic_update_slice(frame0, f0_w, (y0, x0, 0))
                 flow_x = lax.dynamic_update_slice(flow_x, fx_w, (y0, x0))
                 flow_y = lax.dynamic_update_slice(flow_y, fy_w, (y0, x0))
+                if emit_ids:
+                    ids0 = lax.dynamic_update_slice(ids0, id_w, (y0, x0))
+                    return frame0, flow_x, flow_y, ids0
                 return frame0, flow_x, flow_y
 
             return branch
@@ -560,7 +606,10 @@ def render_sample(
             full = wh == H and ww == W
 
             def branch(ops):
-                frame1, iflow_x, iflow_y = ops
+                if emit_ids:
+                    frame1, iflow_x, iflow_y, ids1 = ops
+                else:
+                    frame1, iflow_x, iflow_y = ops
                 if full:
                     y0 = jnp.int32(0)
                     x0 = jnp.int32(0)
@@ -570,6 +619,10 @@ def render_sample(
                 f1_w = lax.dynamic_slice(frame1, (y0, x0, 0), (wh, ww, 3))
                 ifx_w = lax.dynamic_slice(iflow_x, (y0, x0), (wh, ww))
                 ify_w = lax.dynamic_slice(iflow_y, (y0, x0), (wh, ww))
+                id_w = (
+                    lax.dynamic_slice(ids1, (y0, x0), (wh, ww))
+                    if emit_ids else None
+                )
 
                 def fused(args):
                     # Texture gather stays in XLA (gathers are not expressible
@@ -595,7 +648,11 @@ def render_sample(
                     return f1_w, ifx_w, ify_w
 
                 def composed(args):
-                    f1_w, ifx_w, ify_w = args
+                    if emit_ids:
+                        f1_w, ifx_w, ify_w, id_w = args
+                    else:
+                        f1_w, ifx_w, ify_w = args
+                        id_w = None
                     wpx, wpy = _window_grids(y0, x0, wh, ww)
                     aa1, in1 = _frame_coverage(
                         prims, k, motion_k, 1, wpx + 0.5, wpy + 0.5, n_prims_k,
@@ -641,20 +698,32 @@ def render_sample(
                         imx, imy = affine.apply_xy(motion_inv_k, wpx, wpy)
                         ifx_w = jnp.where(in1, imx - wpx, ifx_w)
                         ify_w = jnp.where(in1, imy - wpy, ify_w)
+                    if emit_ids:
+                        from ..config import FOREGROUND_ID_BASE
+
+                        id_w = jnp.where(in1, FOREGROUND_ID_BASE + k, id_w)
+                        return f1_w, ifx_w, ify_w, id_w
                     return f1_w, ifx_w, ify_w
 
-                args = (f1_w, ifx_w, ify_w)
-                if use_pallas and not has_warp:
+                args = (f1_w, ifx_w, ify_w) + ((id_w,) if emit_ids else ())
+                if use_pallas_obj and not has_warp:
                     f1_w, ifx_w, ify_w = fused(args)
-                elif use_pallas and has_warp:
+                elif use_pallas_obj and has_warp:
                     f1_w, ifx_w, ify_w = lax.cond(warping, composed, fused, args)
                 else:
-                    f1_w, ifx_w, ify_w = composed(args)
+                    out = composed(args)
+                    if emit_ids:
+                        f1_w, ifx_w, ify_w, id_w = out
+                    else:
+                        f1_w, ifx_w, ify_w = out
 
                 frame1 = lax.dynamic_update_slice(frame1, f1_w, (y0, x0, 0))
                 if cfg.compute_inverse_flow:
                     iflow_x = lax.dynamic_update_slice(iflow_x, ifx_w, (y0, x0))
                     iflow_y = lax.dynamic_update_slice(iflow_y, ify_w, (y0, x0))
+                if emit_ids:
+                    ids1 = lax.dynamic_update_slice(ids1, id_w, (y0, x0))
+                    return frame1, iflow_x, iflow_y, ids1
                 return frame1, iflow_x, iflow_y
 
             return branch
@@ -670,6 +739,15 @@ def render_sample(
                 sel = lambda o: lax.switch(cls[k], branches, o)
             return lax.cond(on[k], sel, lambda o: o, ops)
 
+        if emit_ids:
+            frame0, flow_x, flow_y, ids0 = dispatch(
+                f0_branch, on0, cls0, (frame0, flow_x, flow_y, ids0)
+            )
+            frame1, iflow_x, iflow_y, ids1 = dispatch(
+                f1_branch, on1, cls1, (frame1, iflow_x, iflow_y, ids1)
+            )
+            return (frame0, frame1, flow_x, flow_y, iflow_x, iflow_y,
+                    ids0, ids1)
         frame0, flow_x, flow_y = dispatch(
             f0_branch, on0, cls0, (frame0, flow_x, flow_y)
         )
@@ -679,14 +757,18 @@ def render_sample(
         return frame0, frame1, flow_x, flow_y, iflow_x, iflow_y
 
     state = (frame0, frame1, flow_x, flow_y, iflow_x, iflow_y)
+    if emit_ids:
+        state = state + (ids0, ids1)
     state = lax.fori_loop(0, count, blit, state)
-    frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = state
+    frame0, frame1, flow_x, flow_y, iflow_x, iflow_y = state[:6]
+    ids = jnp.stack([state[6], state[7]], axis=0) if emit_ids else None
 
     flow0 = jnp.stack([flow_x, flow_y], axis=-1)
     flow1 = (
         jnp.stack([iflow_x, iflow_y], axis=-1) if cfg.compute_inverse_flow else None
     )
-    return RenderOutput(image0=frame0, image1=frame1, flow0=flow0, flow1=flow1)
+    return RenderOutput(image0=frame0, image1=frame1, flow0=flow0, flow1=flow1,
+                        ids=ids)
 
 
 def render_batch(scenes: Scene, atlas, cfg: DataGenConfig, warp_bank=None):
@@ -700,8 +782,11 @@ def render_batch(scenes: Scene, atlas, cfg: DataGenConfig, warp_bank=None):
 
     def one(scene):
         out = render_sample(scene, atlas, cfg, warp_bank)
-        if out.flow1 is None:
-            return out.image0, out.image1, out.flow0
-        return out.image0, out.image1, out.flow0, out.flow1
+        res = [out.image0, out.image1, out.flow0]
+        if out.flow1 is not None:
+            res.append(out.flow1)
+        if out.ids is not None:
+            res.append(out.ids)
+        return tuple(res)
 
     return lax.map(one, scenes)

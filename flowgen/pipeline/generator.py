@@ -149,12 +149,16 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
             tex_sizes=None if db is None else jnp.asarray(db.sizes),
         )
     else:
+        rendered = list(render_batch(scenes, atlas, cfg, warp_bank))
         if cfg.emit_masks:
-            raise NotImplementedError(
-                "emit_masks requires the fused render path (TPU backend with "
-                "a fused-eligible mode; see pallas_scene.fused_eligible)"
-            )
-        rendered = render_batch(scenes, atlas, cfg, warp_bank)
+            # The windowed loop carries the painter's index images (2, H, W)
+            # as its last output; derive the masks exactly as the fused path
+            # does from its in-kernel ids.
+            from ..compose.fused import masks_from_ids
+
+            ids = rendered.pop()
+            f0 = rendered[2]
+            rendered += list(masks_from_ids(ids, f0[..., 0], f0[..., 1]))
     rendered = list(rendered)
     i0, i1, f0 = rendered[:3]
     rest = rendered[3:]

@@ -65,6 +65,35 @@ def test_masks_match_oracle_ids():
     assert 0.0 < mb.mean() < 0.5
 
 
+def test_windowed_masks_match_fused():
+    """emit_masks on the windowed fallback path (use_pallas='never'):
+    index-image-derived masks must equal the fused path's exactly (rigid
+    modes share exact coverage/flow math across the two paths)."""
+    from flowgen.pipeline.generator import generate_batch
+
+    cfg = flowgen.DataGenConfig(
+        mode=5, batch_size=2, width=W, height=H, use_pallas="never",
+        emit_masks=True,
+    )
+    atlas = jnp.asarray(
+        flowgen.procedural_atlas(3, height=H, width=W), jnp.float32
+    )
+    quad = jax.jit(prepare_atlas)(atlas)
+    scenes = sample_scene_batch(root_key(4), jnp.arange(2), cfg,
+                                n_warp_slots=1)
+    _, _, _, occ_f, mb_f = render_batch_fused(
+        scenes, prepare_slabs(quad[..., :3], H, W),
+        prepare_bg_slabs(quad[..., :3]), (2 * H, 2 * W), cfg, interpret=True,
+    )
+    out = generate_batch(root_key(4), jnp.int32(0), atlas, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(out["occlusion"]), np.asarray(occ_f)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["motion_boundary"]), np.asarray(mb_f)
+    )
+
+
 def test_masks_generative_properties():
     ids = jnp.array(
         [[[1, 1, 10, 10],
