@@ -359,6 +359,19 @@ class DataGenConfig:
     # Pallas polygon-coverage kernel (edge-count-culled, fused). "auto" uses
     # it on TPU backends and the pure-XLA path on CPU; "always"/"never" force.
     use_pallas: str = "auto"
+    # Warp-bank implementation = the mode-9 CONTENT contract. The bank IS
+    # generated content (every deforming object samples it), so its
+    # implementation must not follow the runtime backend or the same
+    # (seed, step) would mean different scenes on CPU vs TPU. "pallas"
+    # (default): the banded Mosaic composition (warpfields/pallas_fields.py),
+    # run in interpret mode off-TPU so every backend produces the stream the
+    # TPU path produces. "xla": the quad-gather composition
+    # (warpfields/fields.make_big_field) — ~5x faster on CPU at production
+    # size but a DIFFERENT stream (sub-2% field deviation,
+    # tests/test_pallas_fields.py); switching this dial changes all mode-9
+    # content for a given seed. The reference has exactly one implementation
+    # (WarpFields.cpp:337-437); this mirrors that with "pallas".
+    warp_bank_impl: str = "pallas"
     # Runtime guard (fused path): per batch, count scene elements whose
     # ACTUAL frame-1 sampling affine exceeds the statically-sized resample
     # envelope — possible only if a custom mode's shapers escape their
@@ -385,6 +398,8 @@ class DataGenConfig:
             raise ValueError("channel_order must be 'rgb' or 'bgr'")
         if self.layout not in ("nhwc", "nchw"):
             raise ValueError("layout must be 'nhwc' or 'nchw'")
+        if self.warp_bank_impl not in ("pallas", "xla"):
+            raise ValueError("warp_bank_impl must be 'pallas' or 'xla'")
 
     @property
     def mode_spec(self) -> ModeSpec:

@@ -47,20 +47,22 @@ def make_warp_bank(root, step, cfg: DataGenConfig,
     """Build the crop bank for one batch step: ``warp_fields_per_batch`` big
     fields, tiled into all their crops. Keyed by (root seed, step).
 
-    ``impl``: "xla" (quad-gather composition, fields.make_big_field),
-    "pallas" (banded Mosaic kernels, pallas_fields.make_big_field_pallas —
-    ~10x cheaper on TPU, which is what lets ``warp_fields_per_batch`` reach
-    reference-grade crop diversity), or None to follow ``cfg.use_pallas``.
-    The two implementations agree to sub-2% of the field magnitude
-    (tests/test_pallas_fields.py) but are not bit-identical, so the choice
-    is part of the content contract for mode-9 scenes."""
-    from ..compose.render import _pallas_enabled
-
+    ``impl``: "pallas" (banded Mosaic kernels,
+    pallas_fields.make_big_field_pallas — ~10x cheaper on TPU, which is what
+    lets ``warp_fields_per_batch`` reach reference-grade crop diversity; run
+    in interpret mode off-TPU so content is backend-invariant), "xla"
+    (quad-gather composition, fields.make_big_field), or None to follow
+    ``cfg.warp_bank_impl``. The two implementations agree to sub-2% of the
+    field magnitude (tests/test_pallas_fields.py) but are not bit-identical,
+    so the choice is part of the content contract for mode-9 scenes — it is
+    a config dial, NEVER a backend autodetect (the reference has one
+    implementation, WarpFields.cpp:337-437, and so does a given config
+    here)."""
     W, H = cfg.width, cfg.height
     big = big_field_size(W, H)
     origins = crop_origins(W, H)
     if impl is None:
-        impl = "pallas" if _pallas_enabled(cfg) else "xla"
+        impl = cfg.warp_bank_impl
 
     bank_epoch = step // max(cfg.warp_bank_reuse_steps, 1)
     keys = [
@@ -74,7 +76,8 @@ def make_warp_bank(root, step, cfg: DataGenConfig,
         # per-field cost amortizes 2F-fold.
         from .pallas_fields import make_big_fields_pallas
 
-        flows, iflows = make_big_fields_pallas(keys, big)
+        interpret = jax.default_backend() == "cpu"
+        flows, iflows = make_big_fields_pallas(keys, big, interpret=interpret)
     else:
         pairs = [fields.make_big_field(k, big) for k in keys]
         flows = jnp.stack([p[0] for p in pairs])

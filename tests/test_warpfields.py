@@ -101,6 +101,34 @@ def test_bank_magnitudes_and_shape():
     assert mags.max() < 120.0
 
 
+def test_bank_impl_is_config_not_backend():
+    """Mode-9 content contract (one implementation = one stream, like the
+    reference's single WarpFields.cpp:337-437 path): the default bank is the
+    Pallas composition on EVERY backend (interpret mode here on CPU) —
+    bit-identical to forcing impl="pallas" — and the "xla" stream is reached
+    only through the explicit cfg dial, never by backend autodetection."""
+    cfg = flowgen.DataGenConfig(mode=9, width=W, height=H)
+    bank_default = warpgen.make_warp_bank(root_key(5), jnp.int32(0), cfg)
+    bank_pallas = warpgen.make_warp_bank(root_key(5), jnp.int32(0), cfg,
+                                         impl="pallas")
+    np.testing.assert_array_equal(
+        np.asarray(bank_default.flow), np.asarray(bank_pallas.flow)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bank_default.iflow), np.asarray(bank_pallas.iflow)
+    )
+    assert cfg.warp_bank_impl == "pallas"
+
+    cfg_xla = flowgen.DataGenConfig(mode=9, width=W, height=H,
+                                    warp_bank_impl="xla")
+    bank_xla = warpgen.make_warp_bank(root_key(5), jnp.int32(0), cfg_xla)
+    d = np.abs(np.nan_to_num(np.asarray(bank_xla.flow))
+               - np.nan_to_num(np.asarray(bank_default.flow)))
+    # Different stream (the dial is loud), but the same distribution family:
+    # sub-2% of the field magnitude (tests/test_pallas_fields.py pins this).
+    assert d.max() > 0.0
+
+
 def test_mode9_end_to_end():
     cfg = flowgen.DataGenConfig(mode=9, batch_size=2, width=W, height=H)
     atlas = flowgen.procedural_atlas(3, height=H, width=W)

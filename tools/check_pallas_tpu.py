@@ -18,7 +18,13 @@ Two comparisons per mode, from the same concrete inputs:
    uses identical coverage math and must match exactly for rigid modes
    (median + outliers for mode 9's two displacement-warp formulations).
 
-Usage: python tools/check_pallas_tpu.py [--json OUT.json] [mode ...]
+A third check, selected with the pseudo-mode ``bank``, certifies the mode-9
+CONTENT contract (cfg.warp_bank_impl="pallas" on every backend): the banded
+Mosaic warp-bank composition compiled on the TPU against the same composition
+run in interpret mode on the host CPU, from identical (seed, step)-derived
+keys end-to-end (warpfields/pallas_fields.make_big_fields_pallas).
+
+Usage: python tools/check_pallas_tpu.py [--json OUT.json] [mode|bank ...]
 """
 
 import json
@@ -69,6 +75,57 @@ def _fused_outputs(scenes, slabs, bgslabs, src_hw, cfg, warp_aux, device,
     return [np.asarray(o) for o in out]
 
 
+def _check_bank(tpu, cpu):
+    """Mosaic-vs-interpret identity of the mode-9 warp bank itself, end to
+    end from (seed, step)-derived keys at reduced size (big=384, the 128x96
+    frame's field). Flow values gate at f32 noise; the NaN (out-of-bounds)
+    masks must agree exactly."""
+    import jax
+
+    from flowgen.random.streams import Stream, root_key, stream_key
+    from flowgen.warpfields.pallas_fields import make_big_fields_pallas
+
+    keys = [
+        stream_key(jax.random.fold_in(root_key(3), 0), Stream.WARP_FIELD, i)
+        for i in range(2)
+    ]
+
+    def run(device, interpret):
+        with jax.default_device(device):
+            f, i = make_big_fields_pallas(keys, 384, interpret=interpret)
+        return np.asarray(f), np.asarray(i)
+
+    f_t, i_t = _retry(lambda: run(tpu, False))
+    f_c, i_c = run(cpu, True)
+    nan_mismatch = max(
+        (np.isnan(f_t) != np.isnan(f_c)).mean(),
+        (np.isnan(i_t) != np.isnan(i_c)).mean(),
+    )
+    d = np.maximum(
+        np.abs(np.nan_to_num(f_t) - np.nan_to_num(f_c)),
+        np.abs(np.nan_to_num(i_t) - np.nan_to_num(i_c)),
+    )
+    ok = (
+        float(nan_mismatch) < 1e-4
+        and float(np.median(d)) < 1e-4
+        and float((d > 0.01).mean()) < 1e-3
+    )
+    res = {
+        "flow_median": float(np.median(d)),
+        "flow_frac_gt_0.01": float((d > 0.01).mean()),
+        "flow_max": float(d.max()),
+        "nan_mask_mismatch": float(nan_mismatch),
+        "ok": bool(ok),
+    }
+    print(
+        f"bank: mosaic-vs-interp med {res['flow_median']:.1e} "
+        f">0.01 {res['flow_frac_gt_0.01']:.2e} max {res['flow_max']:.1e} "
+        f"nan_mismatch {nan_mismatch:.1e} {'OK' if ok else 'FAIL'}",
+        flush=True,
+    )
+    return res
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -87,14 +144,39 @@ def main():
     if args and args[0] == "--json":
         json_out = args[1]
         args = args[2:]
-    modes = [int(m) for m in args] or [1, 7, 9]
+    modes = args or ["1", "7", "9"]
     failures = 0
     results = {}
     cpu = jax.devices("cpu")[0]
     tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
     print(f"devices: tpu={tpu}, cpu={cpu}", flush=True)
 
-    for mode in modes:
+    def _write_json(new_results):
+        # Written after EVERY mode (merging into any modes already in the
+        # file): per-mode wall time through the tunneled backend is many
+        # minutes, and a killed run should not lose finished results.
+        merged = new_results
+        if os.path.exists(json_out):
+            with open(json_out) as f:
+                merged = {**json.load(f).get("results", {}), **new_results}
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "results": merged,
+                    "ok": all(r["ok"] for r in merged.values()),
+                },
+                f,
+            )
+
+    for mode_arg in modes:
+        if mode_arg == "bank":
+            res_b = _check_bank(tpu, cpu)
+            failures += 0 if res_b["ok"] else 1
+            results["bank"] = res_b
+            if json_out:
+                _write_json(results)
+            continue
+        mode = int(mode_arg)
         cfg = flowgen.DataGenConfig(mode=mode, batch_size=4, seed=3)
         res = {}
 
@@ -216,21 +298,7 @@ def main():
             flush=True,
         )
         if json_out:
-            # Written after EVERY mode (merging into any modes already in the
-            # file): per-mode wall time through the tunneled backend is many
-            # minutes, and a killed run should not lose finished results.
-            merged = results
-            if os.path.exists(json_out):
-                with open(json_out) as f:
-                    merged = {**json.load(f).get("results", {}), **results}
-            with open(json_out, "w") as f:
-                json.dump(
-                    {
-                        "results": merged,
-                        "ok": all(r["ok"] for r in merged.values()),
-                    },
-                    f,
-                )
+            _write_json(results)
     sys.exit(1 if failures else 0)
 
 
