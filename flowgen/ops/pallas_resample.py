@@ -55,6 +55,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .detmath import det_lerp
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -520,7 +522,11 @@ def _banded_lerp_rows(block_rows, u, n_tiles_scan: int, n_src_tiles: int,
         block_rows, u0, u1, n_tiles_scan,
         jnp.zeros(u.shape, jnp.float32), n_src_tiles,
     )
-    v = p0 + (p1 - p0) * fx
+    # det_lerp pins the blend's FMA contraction so the mode-9 bank (whose
+    # composition chaotically amplifies per-backend ulps) is bit-identical
+    # across backends; these kernels are gather-bound, so the unfused
+    # multiply-add costs nothing measurable.
+    v = det_lerp(p0, p1, fx)
     return v if clamp_oob else jnp.where(ok, v, 0.0)
 
 

@@ -33,6 +33,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import texture
+from ..ops.detmath import (
+    det_cos, det_div, det_exp, det_recip, det_sin, fma_barrier,
+)
 from ..random.streams import uniform, uniform_int
 
 COMPOSE_ITERS = 17  # 2^17-fold integration (WarpFields.cpp:366, h:256-261)
@@ -64,19 +67,27 @@ def constant_support(x, y, factor=1.0):
 
 
 def gaussian1d_support(x, y, cx, cy, sigma):
-    """Supports::Gaussian1D (WarpFields.cpp:64-82): isotropic Gaussian."""
-    d2 = (x - cx) ** 2 + (y - cy) ** 2
-    return jnp.exp(-d2 / (2.0 * sigma * sigma))
+    """Supports::Gaussian1D (WarpFields.cpp:64-82): isotropic Gaussian.
+    Backend-invariant math (ops/detmath): this feeds the chaotic field
+    composition, where a 1-ulp backend difference becomes pixels."""
+    d2 = fma_barrier((x - cx) * (x - cx), x - cx) + fma_barrier(
+        (y - cy) * (y - cy), y - cy
+    )
+    return det_exp(-det_div(d2, 2.0 * sigma * sigma))
 
 
 def gaussian2d_support(x, y, cx, cy, sigma_x, sigma_y, angle):
     """Supports::Gaussian2D (WarpFields.cpp:88-112): anisotropic rotated
     Gaussian. The y-residual is rescaled by sigma_x/sigma_y so a single
-    sigma_x^2 denominator serves both axes (the reference's ratio_x_y trick)."""
-    a, b = jnp.cos(angle), -jnp.sin(angle)
-    rx = a * (x - cx) + b * (y - cy)
-    ry = (-b * (x - cx) + a * (y - cy)) * (sigma_x / sigma_y)
-    return jnp.exp(-(rx * rx + ry * ry) / (2.0 * sigma_x * sigma_x))
+    sigma_x^2 denominator serves both axes (the reference's ratio_x_y trick).
+    Backend-invariant math (ops/detmath) — see gaussian1d_support."""
+    a, b = det_cos(angle), -det_sin(angle)
+    rx = fma_barrier(a * (x - cx), a) + fma_barrier(b * (y - cy), b)
+    ry = (
+        fma_barrier(-b * (x - cx), b) + fma_barrier(a * (y - cy), a)
+    ) * det_div(sigma_x, sigma_y)
+    r2 = fma_barrier(rx * rx, rx) + fma_barrier(ry * ry, ry)
+    return det_exp(-r2 * det_recip(2.0 * sigma_x * sigma_x))
 
 
 class DisplacerGrid(NamedTuple):
@@ -153,12 +164,14 @@ def _displacer_term(grid: DisplacerGrid, i, px, py, inverse: bool):
     dy = py - grid.cy[i]
 
     # Rotation by -omega forward / +omega inverse (cpp:220-236).
+    # det_cos/det_sin/det_recip: backend-invariant (ops/detmath) — the
+    # composition doublings chaotically amplify any per-backend ulp.
     om = jnp.where(inverse, grid.p0[i], -grid.p0[i])
-    c, s = jnp.cos(om), jnp.sin(om)
-    rot_fx = (c * dx - s * dy) - dx
-    rot_fy = (s * dx + c * dy) - dy
+    c, s = det_cos(om), det_sin(om)
+    rot_fx = (fma_barrier(c * dx, c) - fma_barrier(s * dy, s)) - dx
+    rot_fy = (fma_barrier(s * dx, s) + fma_barrier(c * dy, c)) - dy
 
-    f = jnp.where(inverse, 1.0 / grid.p0[i], grid.p0[i])
+    f = jnp.where(inverse, det_recip(grid.p0[i]), grid.p0[i])
     zoom_fx = (f - 1.0) * dx
     zoom_fy = (f - 1.0) * dy
 
@@ -174,7 +187,9 @@ def _displacer_term(grid: DisplacerGrid, i, px, py, inverse: bool):
         px, py, grid.sup_cx[i], grid.sup_cy[i],
         grid.sup_sx[i], grid.sup_sy[i], grid.sup_angle[i],
     )
-    return fx * w, fy * w
+    # Barriered: these products feed the accumulator adds in
+    # elementary_field's loop, a contraction site.
+    return fma_barrier(fx * w, w), fma_barrier(fy * w, w)
 
 
 def elementary_field(grid: DisplacerGrid, size: int, inverse: bool,
@@ -268,7 +283,7 @@ def make_big_field(key, size: int, coarse_iters: int = 13):
     half = size // 2
 
     def compose_one(inverse):
-        f_h = elementary_field(grid, half, inverse=inverse, stride=2.0) / 2.0
+        f_h = elementary_field(grid, half, inverse=inverse, stride=2.0) * 0.5
         f_h = self_compose(f_h, iters=coarse_iters)
         f = 2.0 * _upsample2(jnp.nan_to_num(f_h))
         return self_compose(f, iters=COMPOSE_ITERS - coarse_iters)

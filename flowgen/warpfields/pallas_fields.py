@@ -88,7 +88,10 @@ def coarse_gdisp_batch(D, stride=COARSE, n_iter=SOLVE_ITERS,
     pad = ((0, 0), (0, 0), (0, Hcp - Hc))
     # Lattice units along the lane axis; pad lanes (never read: lookups
     # clamp at Lv-1).
-    dyT = jnp.pad(jnp.swapaxes(Dc[..., 1], 1, 2) / stride, pad)
+    # * (1/stride), not /stride: stride is a power of two, so the host-folded
+    # reciprocal multiply is exact; a backend's approximate-divide lowering
+    # would not be bit-stable (bank content contract).
+    dyT = jnp.pad(jnp.swapaxes(Dc[..., 1], 1, 2) * (1.0 / stride), pad)
     dxT = jnp.pad(jnp.swapaxes(Dc[..., 0], 1, 2), pad)
     dmax_lat = 64.0 / stride  # |D| bound (2x the crop bound, bg fields)
     scan = int((2 * dmax_lat + 131) // 128) + 1
@@ -301,7 +304,7 @@ def make_big_fields_pallas(keys, size, coarse_iters=13, interpret=False):
             elems.append(
                 fields.elementary_field(grid, half, inverse=inverse,
                                         stride=2.0)
-                / 2.0
+                * 0.5
             )
     f_h = jnp.stack(elems)                               # (2F, half, half, 2)
     f_h = self_compose_pallas_batch(f_h, coarse_iters, interpret=interpret)
