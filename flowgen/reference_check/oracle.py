@@ -191,9 +191,18 @@ def _upscale2_field(field, out_h, out_w):
 
 
 def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
-                        warp_bank=None, obj_tex_np=None, return_ids=False):
+                        warp_bank=None, obj_tex_np=None, return_ids=False,
+                        compute_inverse=False):
     """Render one scene (numpy-converted Scene pytree, no batch dim) the
-    reference way. Returns (image0, image1, flow0) float arrays.
+    reference way. Returns (image0, image1, flow0) float arrays; with
+    ``compute_inverse`` also flow1 (the frame1->frame0 flow): ownership via
+    the frame-1 index image and the inverse motion affine
+    (computeFlowImage(inverse=true), DataGenerator.cpp:801-818). The
+    reference pipeline never computes flow1 (inverse=false only,
+    cpp:1226) and its unexercised inverse branch would add the FORWARD
+    warp field (cpp:403-405); the framework's contract — matched here —
+    is the inverse affine masked by the displaced binary mask, with no
+    field term (compose/render.py frame-1 branch).
 
     ``warp_bank``: optional dict {"flow": (N,H,W,2), "iflow": ...} numpy for
     MODE 9; nonrigid semantics follow the reference literally — frame-1 u8
@@ -247,6 +256,11 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
     px1 = m_total[0, 0] * qx + m_total[0, 1] * qy + m_total[0, 2]
     py1 = m_total[1, 0] * qx + m_total[1, 1] * qy + m_total[1, 2]
     flow = np.stack([px1 - qx, py1 - qy], -1)
+    iflow = None
+    if compute_inverse:
+        ipx1 = m_inv[0, 0] * qx + m_inv[0, 1] * qy + m_inv[0, 2]
+        ipy1 = m_inv[1, 0] * qx + m_inv[1, 1] * qy + m_inv[1, 2]
+        iflow = np.stack([ipx1 - qx, ipy1 - qy], -1)
     if bg_warp:
         # Forward field at the moved position, in big coords, gated on
         # landing inside the 2Wx2H field (cpp:714-717).
@@ -341,12 +355,20 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
             oy = oy + np.where(inb, add[..., 1], 0.0)
         flow[..., 0] = np.where(in0, ox, flow[..., 0])
         flow[..., 1] = np.where(in0, oy, flow[..., 1])
+        if compute_inverse:
+            iox = minv[0, 0] * ixx + minv[0, 1] * iyy + minv[0, 2] - ixx
+            ioy = minv[1, 0] * ixx + minv[1, 1] * iyy + minv[1, 2] - iyy
+            iflow[..., 0] = np.where(in1, iox, iflow[..., 0])
+            iflow[..., 1] = np.where(in1, ioy, iflow[..., 1])
         ids0 = np.where(in0, 10 + k, ids0)   # fg ids 10+i (layer cpp:210)
         ids1 = np.where(in1, 10 + k, ids1)
 
+    out = [frame0, frame1, flow]
+    if compute_inverse:
+        out.append(iflow)
     if return_ids:
-        return frame0, frame1, flow, ids0, ids1
-    return frame0, frame1, flow
+        out += [ids0, ids1]
+    return tuple(out)
 
 
 def _center_crop(src, h, w):

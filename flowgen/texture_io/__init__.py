@@ -106,8 +106,16 @@ def load_images(
     oh, ow = 2 * height, 2 * width
     if not native_fov:
         if use_native and native_loader_available():
-            out = load_images_native(paths, oh, ow)
-            if out is not None:
+            res = load_images_native(paths, oh, ow)
+            if res is not None:
+                out, ok = res
+                # Per-file fallback: PIL-decode only the stragglers the
+                # native tier can't handle (progressive JPEG, TIFF, ...) —
+                # the reference decodes everything serially via CImg
+                # (DataGenerator.cpp:117-149); one exotic file must not
+                # forfeit the threaded decode of the rest.
+                for i in np.flatnonzero(~ok):
+                    out[i] = _decode_pil(paths[i], oh, ow)
                 return out
         imgs = [_decode_pil(p, oh, ow) for p in paths]
         total_mb = sum(i.nbytes for i in imgs) / (1024 * 1024)

@@ -9,8 +9,10 @@
 // numpy).
 //
 // Supported formats: baseline JPEG (jpeg.cpp), PNG (via system zlib), binary
-// PPM/PGM, uncompressed 24/32-bit BMP. Anything else makes fg_load_images
-// return nonzero and the Python caller falls back to PIL for the whole batch.
+// PPM/PGM, uncompressed 24/32-bit BMP. Anything else (progressive JPEG,
+// TIFF, ...) fails PER FILE: the ok[] output marks which slots were decoded,
+// and the Python caller PIL-decodes only the stragglers — one exotic file in
+// a large database no longer forfeits the threaded decode of the rest.
 //
 // Build: make -C flowgen/texture_io/native
 
@@ -305,9 +307,16 @@ void resize_into(const Image& img, int oh, int ow, uint8_t* out) {
 
 }  // namespace
 
+// ABI marker: lets the Python binding detect a stale pre-per-file-fallback
+// build of the shared library and rebuild it.
+extern "C" int fg_loader_abi_v2() { return 2; }
+
+// Returns -1 on invalid arguments, else the number of files that could not
+// be decoded natively. ``ok`` (optional, length n) receives a per-file 1/0
+// decode flag so the caller can fall back per file instead of per batch.
 extern "C" int fg_load_images(const char** paths, int n, int out_h, int out_w,
-                              uint8_t* out, int n_threads) {
-  if (n <= 0 || out_h <= 0 || out_w <= 0 || !out) return 1;
+                              uint8_t* out, int n_threads, uint8_t* ok) {
+  if (n <= 0 || out_h <= 0 || out_w <= 0 || !out) return -1;
   std::atomic<int> next(0);
   std::atomic<int> failures(0);
   size_t slot = (size_t)out_h * out_w * 3;
@@ -319,9 +328,11 @@ extern "C" int fg_load_images(const char** paths, int n, int out_h, int out_w,
       Image img = decode(paths[i]);
       if (!img.ok()) {
         failures.fetch_add(1);
+        if (ok) ok[i] = 0;
         continue;
       }
       resize_into(img, out_h, out_w, out + slot * i);
+      if (ok) ok[i] = 1;
     }
   };
 
@@ -329,5 +340,5 @@ extern "C" int fg_load_images(const char** paths, int n, int out_h, int out_w,
   std::vector<std::thread> threads;
   for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
   for (auto& t : threads) t.join();
-  return failures.load() == 0 ? 0 : 2;
+  return failures.load();
 }

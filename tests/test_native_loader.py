@@ -37,10 +37,10 @@ def _mk_textures(tmp_path, n=4):
 
 def test_native_matches_pil(have_native, tmp_path):
     paths = _mk_textures(tmp_path)
-    a = native.load_images_native(paths, 48, 64)
-    assert a is not None and a.shape == (4, 48, 64, 3)
+    a, ok = native.load_images_native(paths, 48, 64)
+    assert a.shape == (4, 48, 64, 3) and ok.all()
     b = texture_io.load_images(paths, height=24, width=32, use_native=False)
-    c = native.load_images_native(paths, 48, 64)
+    c, _ = native.load_images_native(paths, 48, 64)
     np.testing.assert_array_equal(a, c)  # deterministic
     # Same canonical size as the PIL path and near-identical resampling.
     assert b.shape == a.shape
@@ -51,7 +51,8 @@ def test_native_reports_unsupported(have_native, tmp_path):
     bad = str(tmp_path / "bad.xyz")
     with open(bad, "wb") as f:
         f.write(b"not an image at all..........")
-    assert native.load_images_native([bad], 16, 16) is None
+    _, ok = native.load_images_native([bad], 16, 16)
+    assert not ok[0]
 
 
 def test_load_texture_db_uses_native(have_native, tmp_path):
@@ -84,8 +85,8 @@ def test_native_jpeg_matches_pil(have_native, tmp_path):
     for name, kw in cases:
         p = str(tmp_path / f"{name}.jpg")
         Image.fromarray(smooth).save(p, **kw)
-        out = native.load_images_native([p], 64, 96)
-        assert out is not None, name
+        out, ok = native.load_images_native([p], 64, 96)
+        assert ok[0], name
         ref = np.asarray(Image.open(p).convert("RGB")).astype(int)
         d = np.abs(out[0].astype(int) - ref)
         assert d.mean() < 2.0, (name, d.mean())
@@ -94,7 +95,7 @@ def test_native_jpeg_matches_pil(have_native, tmp_path):
     # Grayscale single-component scan.
     pg = str(tmp_path / "gray.jpg")
     Image.fromarray(smooth[..., 0], mode="L").save(pg, quality=92)
-    out = native.load_images_native([pg], 64, 96)
+    out, _ = native.load_images_native([pg], 64, 96)
     ref = np.asarray(Image.open(pg).convert("RGB")).astype(int)
     assert np.abs(out[0].astype(int) - ref).mean() < 2.0
 
@@ -102,19 +103,35 @@ def test_native_jpeg_matches_pil(have_native, tmp_path):
     try:
         pr = str(tmp_path / "restart.jpg")
         Image.fromarray(smooth).save(pr, quality=90, restart_marker_blocks=4)
-        out = native.load_images_native([pr], 64, 96)
+        out, _ = native.load_images_native([pr], 64, 96)
         ref = np.asarray(Image.open(pr).convert("RGB")).astype(int)
         assert np.abs(out[0].astype(int) - ref).mean() < 2.0
     except TypeError:
         pass
 
 
-def test_native_jpeg_progressive_falls_back(have_native, tmp_path):
+def test_native_jpeg_progressive_falls_back_per_file(have_native, tmp_path,
+                                                     monkeypatch):
+    """One progressive JPEG in a database must not forfeit the threaded
+    decode of the rest: only THAT file goes through PIL (per-file fallback,
+    loader.cpp fg_load_images ok[]), and its pixels come out PIL-exact."""
     from PIL import Image
 
+    paths = _mk_textures(tmp_path)
     img = np.random.default_rng(1).integers(0, 255, (32, 32, 3), np.uint8)
     p = str(tmp_path / "prog.jpg")
     Image.fromarray(img).save(p, progressive=True, quality=90)
-    # Progressive scans are out of scope for the native tier: whole-batch
-    # PIL fallback (load_images_native -> None).
-    assert native.load_images_native([p], 32, 32) is None
+    paths.insert(2, p)
+
+    _, ok = native.load_images_native(paths, 32, 32)
+    assert ok.sum() == len(paths) - 1 and not ok[2]
+
+    calls = []
+    real = texture_io._decode_pil
+    monkeypatch.setattr(
+        texture_io, "_decode_pil",
+        lambda q, h, w: (calls.append(q), real(q, h, w))[1],
+    )
+    out = texture_io.load_images(paths, height=16, width=16)
+    assert calls == [p]   # PIL touched only the straggler
+    np.testing.assert_array_equal(out[2], real(p, 32, 32))
