@@ -391,6 +391,9 @@ def _bg_meta_payload(scene: Scene, cfg: DataGenConfig, src_h, src_w):
         pixmot[:, 2] + jnp.array([W / 2.0, H / 2.0]) + 0.5
     ) * 0.5 - 0.5
     faff = jnp.concatenate([flin, ftr[:, None]], axis=1)
+    # Inverse pixel motion (BGM_IPIX): the kernel initializes the inverse
+    # flow planes from it (render.background_flow's affine.invert term).
+    ipix = affine.invert(pixmot)
     zeros2 = jnp.zeros((2,), jnp.float32)
     return jnp.concatenate(
         [
@@ -400,6 +403,7 @@ def _bg_meta_payload(scene: Scene, cfg: DataGenConfig, src_h, src_w):
             zeros2,
             pixmot.reshape(6), zeros2,
             faff.reshape(6), zeros2,
+            ipix.reshape(6), zeros2,
         ]
     )
 
@@ -409,8 +413,8 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
                        quad_atlas=None, warp_bank=None, warp_aux=None,
                        tex_sizes=None):
     """Fused render of a batch: frames entirely in the scene megakernel
-    (background + objects, including mode-9 deformation of both), affine
-    flow init in XLA (warp-field flow terms are added in-kernel).
+    (background + objects, including mode-9 deformation of both); the affine
+    flow init and the warp-field flow terms are computed in-kernel too.
     ``src_hw``: the texture sources' (height, width) — the bg slabs'
     unpadded dims. For nonrigid modes pass ``warp_aux`` from
     warpfields.generator.make_warp_aux (an (obj_aux, bg_aux) pair).
@@ -421,14 +425,6 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
     H, W = cfg.height, cfg.width
     spec = cfg.mode_spec
     has_warp = spec.warp_p > 0.0
-
-    fx, fy, ifx, ify = jax.vmap(
-        lambda s: render_mod.background_flow(s, cfg)
-    )(scenes)
-    if cfg.compute_inverse_flow:
-        flow_init = jnp.stack([fx, fy, ifx, ify], axis=1)
-    else:
-        flow_init = jnp.stack([fx, fy], axis=1)
 
     quadrant = ps.quadrant_needed(spec)
     n_tex = slabs.shape[0] // 2 if quadrant else slabs.shape[0]
@@ -475,7 +471,7 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
     P, PBG, xs, ys, xsb, ysb = ps.resample_params(spec, H, W)
     frames, flow, ids = ps.scene_render_pallas(
         count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges,
-        slabs, bgslabs, flow_init, obj_aux, bg_aux,
+        slabs, bgslabs, obj_aux, bg_aux,
         spec_key=(P, PBG, xs, ys, xsb, ysb, H, W),
         use_aa=cfg.use_antialiasing,
         inverse_flow=cfg.compute_inverse_flow,

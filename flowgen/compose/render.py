@@ -349,7 +349,9 @@ def background_pass(scene: Scene, atlas: jax.Array, cfg: DataGenConfig,
     s1x, s1y = affine.apply_xy(crop_t, bx, by)
     frame1 = bg_sample(s1x, s1y)
 
-    fqx, fqy = affine.apply_xy(bg_pixel_motion, ix, iy)
+    # Pinned products: the megakernel evaluates this same expression
+    # in-kernel (flow init); apply_xy_det keeps the two bit-identical.
+    fqx, fqy = affine.apply_xy_det(bg_pixel_motion, ix, iy)
     flow_x = fqx - ix
     flow_y = fqy - iy
     if has_warp:
@@ -373,7 +375,7 @@ def background_pass(scene: Scene, atlas: jax.Array, cfg: DataGenConfig,
 
     if cfg.compute_inverse_flow:
         bg_inv_pixel = affine.invert(bg_pixel_motion)
-        iqx, iqy = affine.apply_xy(bg_inv_pixel, ix, iy)
+        iqx, iqy = affine.apply_xy_det(bg_inv_pixel, ix, iy)
         iflow_x, iflow_y = iqx - ix, iqy - iy
     else:
         iflow_x = jnp.zeros_like(flow_x)
@@ -383,20 +385,21 @@ def background_pass(scene: Scene, atlas: jax.Array, cfg: DataGenConfig,
 
 def background_flow(scene: Scene, cfg: DataGenConfig):
     """The flow planes of :func:`background_pass` without the frames — no
-    texture gathers, so freely vmappable. Used by the fused path, which
-    renders the background frames in-kernel (ops/pallas_scene.py). Rigid
-    modes only (the fused path never runs with warp fields)."""
+    texture gathers, so freely vmappable. The scene megakernel evaluates the
+    SAME expressions in-kernel from the bgm pixel-motion scalars
+    (ops/pallas_scene.py flow init); this function remains the XLA statement
+    of that contract (tested by test_render.py) and a dev-tool probe."""
     H, W = cfg.height, cfg.width
     ix, iy = raster.pixel_grid(W, H, 0.0)
     bg_pixel_motion = affine.conjugate_about(
         scene.background.motion, W / 2.0, H / 2.0
     )
-    fqx, fqy = affine.apply_xy(bg_pixel_motion, ix, iy)
+    fqx, fqy = affine.apply_xy_det(bg_pixel_motion, ix, iy)
     flow_x = fqx - ix
     flow_y = fqy - iy
     if cfg.compute_inverse_flow:
         inv = affine.invert(bg_pixel_motion)
-        iqx, iqy = affine.apply_xy(inv, ix, iy)
+        iqx, iqy = affine.apply_xy_det(inv, ix, iy)
         return flow_x, flow_y, iqx - ix, iqy - iy
     z = jnp.zeros_like(flow_x)
     return flow_x, flow_y, z, z

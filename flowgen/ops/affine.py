@@ -111,6 +111,25 @@ def apply_xy(a, x, y):
     return nx, ny
 
 
+def apply_xy_det(a, x, y):
+    """``apply_xy`` with both products' rounding pinned
+    (detmath.fma_barrier): XLA and Mosaic contract ``a*b + c`` into fma in
+    backend codegen, so the SAME expression can round differently per
+    context; pinned, the background-flow grids of the windowed XLA path and
+    the scene megakernel agree to the last bit. ``a`` may be a (2,3) array
+    or a flat 6-tuple of scalars (the kernel's SMEM reads)."""
+    from .detmath import fma_barrier
+
+    if isinstance(a, (tuple, list)):
+        a00, a01, a02, a10, a11, a12 = a
+    else:
+        a00, a01, a02 = a[0, 0], a[0, 1], a[0, 2]
+        a10, a11, a12 = a[1, 0], a[1, 1], a[1, 2]
+    nx = fma_barrier(a00 * x, x) + fma_barrier(a01 * y, y) + a02
+    ny = fma_barrier(a10 * x, x) + fma_barrier(a11 * y, y) + a12
+    return nx, ny
+
+
 def motion_transform(rot, scale, tx, ty):
     """Object motion R·S·T (MovingObjectBase::setMotion, DataGenerator.cpp:312-322):
     rotate, then scale, then translate."""

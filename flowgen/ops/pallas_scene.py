@@ -54,6 +54,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_raster import _area_accumulate_blocked
+from . import affine as affine_mod
 from . import pallas_resample as resamp
 from . import raster
 from ..config import BACKGROUND_OBJ_ID as BG_ID, FOREGROUND_ID_BASE as FG_ID_BASE
@@ -85,7 +86,8 @@ BGM_SRCW = 12   # source reflect periods (native dims on the TextureDB path)
 BGM_SRCH = 13
 BGM_PIX = 16    # bg pixel motion (conjugated about the frame center)
 BGM_FAFF = 24   # forward-field sampling affine: u = (pixmot(p)+c+.5)/2-.5
-BGM_SIZE = 32
+BGM_IPIX = 32   # inverse bg pixel motion (inverse-flow init)
+BGM_SIZE = 40
 
 # objmeta_i layout (per object, per frame)
 OMI_ON = 0          # window pass needed for this frame
@@ -363,8 +365,8 @@ def _make_scene_kernel(
 
     def kernel(*refs):
         (smeta_hbm, omi_hbm, omf_hbm, tmi_hbm, tmf_hbm, bgm_hbm, wl_hbm,
-         edges_hbm, slabs_hbm, bgslabs_hbm, flow_hbm) = refs[:11]
-        i = 11
+         edges_hbm, slabs_hbm, bgslabs_hbm) = refs[:10]
+        i = 10
         if has_warp:
             aux_hbm = refs[i]; bgaux_hbm = refs[i + 1]; i += 2
         frames_out, flow_out = refs[i], refs[i + 1]; i += 2
@@ -385,9 +387,8 @@ def _make_scene_kernel(
 
         b = pl.program_id(0)
 
-        # ---- load flow init + per-sample meta (all DMAs overlap) ----
+        # ---- load per-sample meta (all DMAs overlap) ----
         loads = [
-            pltpu.make_async_copy(flow_hbm.at[b], accf, sems.at[2]),
             pltpu.make_async_copy(smeta_hbm.at[b], smeta, sems.at[3]),
             pltpu.make_async_copy(omi_hbm.at[b], omi, sems.at[4]),
             pltpu.make_async_copy(omf_hbm.at[b], omf, sems.at[5]),
@@ -400,6 +401,48 @@ def _make_scene_kernel(
             cp.start()
         for cp in loads:
             cp.wait()
+
+        # ---- retire the PREVIOUS sample's result stores ----
+        # Stores are started at the end of each grid step and waited only
+        # here, right before their source accumulators are overwritten, so
+        # the store latency overlaps the next sample's meta loads instead of
+        # serializing the grid (dedicated sems 8-11; a wait descriptor only
+        # sizes the semaphore decrement, so .at[b] in place of the started
+        # .at[b-1] slice is immaterial).
+        def store_dmas():
+            dmas = [
+                pltpu.make_async_copy(acc0, frames_out.at[b, 0], sems.at[8]),
+                pltpu.make_async_copy(acc1, frames_out.at[b, 1], sems.at[9]),
+                pltpu.make_async_copy(accf, flow_out.at[b], sems.at[10]),
+            ]
+            if emit_masks:
+                dmas.append(
+                    pltpu.make_async_copy(idacc, ids_out.at[b], sems.at[11])
+                )
+            return dmas
+
+        @pl.when(b > 0)
+        def _():
+            for cp in store_dmas():
+                cp.wait()
+
+        # ---- background flow init, in-kernel ----
+        # The background flow planes are pure affine functions of the pixel
+        # grid (getPointFlow conjugation, cpp:692-712); evaluating them here
+        # from the bgm scalars deletes the (B, nflow, H, W) flow_init HBM
+        # round trip and its XLA producer. apply_xy_det pins the products'
+        # rounding so this init is BIT-identical to the windowed path's
+        # compose/render.background_flow. Warp-field terms are added below
+        # (render_background).
+        pxF = lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+        pyF = lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
+        for fi, base_m in ((0, BGM_PIX),) + (
+            ((2, BGM_IPIX),) if inverse_flow else ()
+        ):
+            m = tuple(bgm[0, base_m + j] for j in range(6))
+            fqx, fqy = affine_mod.apply_xy_det(m, pxF, pyF)
+            accf[fi] = fqx - pxF
+            accf[fi + 1] = fqy - pyF
         if emit_masks:
             # Index images (RenderCore cpp:740-774): background id everywhere,
             # object ids painted below.
@@ -1059,20 +1102,14 @@ def _make_scene_kernel(
             frame_pass(0, acc0)
             frame_pass(1, acc1)
 
-        # ---- store results ----
-        stores = [
-            pltpu.make_async_copy(acc0, frames_out.at[b, 0], sems.at[0]),
-            pltpu.make_async_copy(acc1, frames_out.at[b, 1], sems.at[1]),
-            pltpu.make_async_copy(accf, flow_out.at[b], sems.at[2]),
-        ]
-        if emit_masks:
-            stores.append(
-                pltpu.make_async_copy(idacc, ids_out.at[b], sems.at[3])
-            )
-        for cp in stores:
+        # ---- store results (pipelined: waited by the NEXT grid step) ----
+        for cp in store_dmas():
             cp.start()
-        for cp in stores:
-            cp.wait()
+
+        @pl.when(b == pl.num_programs(0) - 1)
+        def _():
+            for cp in store_dmas():
+                cp.wait()
 
     return kernel
 
@@ -1124,7 +1161,7 @@ def build_worklists(count, order, omi):
 )
 def scene_render_pallas(
     count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges, slabs, bgslabs,
-    flow_init, warp_aux=None, bgaux=None, worklist=None, n_units=None,
+    warp_aux=None, bgaux=None, worklist=None, n_units=None,
     *, spec_key, use_aa=True, inverse_flow=False, emit_masks=False,
     interpret=False, debug_level=3,
 ):
@@ -1137,9 +1174,10 @@ def scene_render_pallas(
     ``bgm`` (B, BGM_SIZE) f32 raw background affines/periods/motion (layout
     constants above; reflect folds are chosen in-kernel per tile), ``edges``
     (B,K,2,4,EP) f32, ``slabs`` (T,SHs,SWs) i32 packed object-crop slabs,
-    ``bgslabs`` (T,SHb,SWb) i32 packed full-source slabs, ``flow_init``
-    (B,2 or 4,H,W) f32 (forward [+ inverse] affine background flow; the
-    warp-field term is added in-kernel). Frames render entirely in-kernel.
+    ``bgslabs`` (T,SHb,SWb) i32 packed full-source slabs. The affine
+    background flow init is evaluated IN-KERNEL from the bgm pixel-motion
+    scalars (BGM_PIX / BGM_IPIX; the warp-field term is also added
+    in-kernel). Frames render entirely in-kernel.
     Mode 9 passes ``warp_aux`` (N,4,H,W) and ``bgaux`` (N,2,H+2*BG_EY,W)
     (warpfields.generator.make_warp_aux).
 
@@ -1164,7 +1202,7 @@ def scene_render_pallas(
     wh, ww = min(WIN_H, H), min(WIN_W, W)
     Pmax = max(P, PBG)
     Pp = _round_up(Pmax, 128)
-    nflow = flow_init.shape[1]
+    nflow = 4 if inverse_flow else 2
     NBT = (-(-H // wh)) * (-(-W // ww))
     has_warp = warp_aux is not None
     whE = min(wh + 2 * WARP_EY, H)
@@ -1262,9 +1300,9 @@ def scene_render_pallas(
         ]
     if emit_masks:
         scratch.append(pltpu.VMEM((2, H, W), jnp.int32))
-    scratch.append(pltpu.SemaphoreType.DMA((8,)))
+    scratch.append(pltpu.SemaphoreType.DMA((12,)))
 
-    n_in = 11 + (2 if has_warp else 0)
+    n_in = 10 + (2 if has_warp else 0)
     n_out = 3 if emit_masks else 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -1274,7 +1312,7 @@ def scene_render_pallas(
         scratch_shapes=scratch,
     )
     inputs = [smeta, omi_f, omf_f, tmi_f, tmf_f, bgm_f, wl_f, edges, slabs,
-              bgslabs, flow_init]
+              bgslabs]
     if has_warp:
         inputs += [warp_aux, bgaux]
     out_shape = [

@@ -59,6 +59,33 @@ def _retry(fn, attempts=3):
     raise last
 
 
+def _start_keepalive(device, period_s=60):
+    """Touch the TPU with a tiny transfer periodically from a daemon thread.
+
+    The tunneled backend has failed device_puts (FAILED_PRECONDITION) when
+    the first real TPU op lands only after many minutes of CPU-side staging;
+    an op immediately after client init followed by periodic touches keeps
+    the session warm. Runs until process exit."""
+    import threading
+
+    import jax
+    import numpy as np_
+
+    def loop():
+        x = np_.ones((8,), np_.float32)
+        while True:
+            try:
+                jax.device_put(x, device).block_until_ready()
+            except Exception:
+                pass
+            time_mod.sleep(period_s)
+
+    import time as time_mod
+
+    t = threading.Thread(target=loop, daemon=True)
+    t.start()
+
+
 def _fused_outputs(scenes, slabs, bgslabs, src_hw, cfg, warp_aux, device,
                    interpret):
     import jax
@@ -150,6 +177,7 @@ def main():
     cpu = jax.devices("cpu")[0]
     tpu = [d for d in jax.devices() if d.platform != "cpu"][0]
     print(f"devices: tpu={tpu}, cpu={cpu}", flush=True)
+    _start_keepalive(tpu)
 
     def _write_json(new_results):
         # Written after EVERY mode (merging into any modes already in the

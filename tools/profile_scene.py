@@ -89,10 +89,6 @@ def main():
         scenes = sample_scene_batch(root, step * BATCH + indices, cfg)
         slabs = ps.prepare_slabs(atlas, H, W)
         bgslabs = ps.prepare_bg_slabs(atlas)
-        fx, fy, ifx, ify = jax.vmap(
-            lambda s: render_mod.background_flow(s, cfg)
-        )(scenes)
-        flow_init = jnp.stack([fx, fy], axis=1)
         count, order, omi, omf, tmi, tmf, edges = jax.vmap(
             lambda s: fused_mod.prepare_scene_inputs(s, cfg, slabs.shape[0])
         )(scenes)
@@ -107,7 +103,7 @@ def main():
                                                  atlas.shape[2])
         )(scenes)
         return (count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges,
-                slabs, bgslabs, flow_init)
+                slabs, bgslabs)
 
     if "prep" in sections or "kernel" in sections:
         report("scene sampling only", pipelined(sample_only, root, step))
@@ -141,12 +137,6 @@ def main():
             )(scenes)
 
         @jax.jit
-        def bg_flow_only(scenes):
-            return jax.vmap(
-                lambda s: render_mod.background_flow(s, cfg)
-            )(scenes)
-
-        @jax.jit
         def bgm_only(scenes):
             return jax.vmap(
                 lambda s: fused_mod._bg_meta_payload(
@@ -155,8 +145,6 @@ def main():
             )(scenes)
 
         report("  object precompute only", pipelined(prep_obj_only, scenes_c))
-        report("  background flow init only", pipelined(bg_flow_only,
-                                                        scenes_c))
         report("  bg meta payload only", pipelined(bgm_only, scenes_c))
 
     if "kernel" in sections:
