@@ -201,9 +201,10 @@ def envelope_violations(scenes: Scene, cfg: DataGenConfig, bgm=None):
     H, W = cfg.height, cfg.width
     spec = cfg.mode_spec
     wh, ww = min(ps.WIN_H, H), min(ps.WIN_W, W)
-    P, PBG, xs, ys, xsb, ysb = ps.resample_params(spec, H, W)
+    P, PBG, xs, ys, xsb, ysb, tsp = ps.resample_params(spec, H, W)
+    whs, wws = wh // tsp, ww // tsp
     chunk = float(min(resamp.PASS1_CHUNK, max(P, PBG)))
-    xchunk = float(min(128, ww))
+    xchunk = float(min(128, wws))
     quadrant = ps.quadrant_needed(spec)
 
     def one(s):
@@ -212,7 +213,7 @@ def envelope_violations(scenes: Scene, cfg: DataGenConfig, bgm=None):
             t_eff, _ = _quadrant_factor(objs.motion_inv, float(W), float(H))
         else:
             t_eff = objs.motion_inv
-        span, xsn, ysn = _span_requirements(t_eff, wh, ww, chunk, xchunk)
+        span, xsn, ysn = _span_requirements(t_eff, whs, wws, chunk, xchunk)
         bad = (span > P) | (xsn > xs) | (ysn > ys)
         # Only frame-1 on-screen objects ever resample.
         _, (lo1, hi1) = render_mod._all_bboxes(s.prims, objs.motion)
@@ -313,7 +314,8 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int,
     else:
         t_samp1 = objs.motion_inv
         tex_id1 = tex_id
-        nx1, ny1 = float(W), float(H)
+        nx1 = jnp.full((K, 1), float(W))
+        ny1 = jnp.full((K, 1), float(H))
 
     def omi_frame(on, nty, ntx, tex):
         cols = [
@@ -335,15 +337,22 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int,
     tr0 = jnp.broadcast_to(intr, intr.shape)
     tr1 = affine.compose(intr, objs.motion[:, None])
 
-    def omf_frame(motion, tr):
+    def omf_frame(motion, tr, raw):
         mot = motion.reshape(K, 6)
         pad = jnp.zeros((K, ps.OMF_ELL - 6))
         ell = _ell_params(tr, prims)
-        tail = jnp.zeros((K, ps.OMF_SIZE - ps.OMF_ELL - ell.shape[1]))
-        return jnp.concatenate([mot, pad, ell, tail], axis=-1)
+        tail = jnp.zeros(
+            (K, ps.OMF_RAW - ps.OMF_ELL - ell.shape[1])
+        )
+        return jnp.concatenate([mot, pad, ell, tail, raw], axis=-1)
 
+    # Frame-1 RAW residual texture affine + reflect periods (OMF_RAW slots):
+    # folded in-kernel per sub-window when the mode's envelope needs texture
+    # sub-tiling (ps.texture_split; modes 11/13).
+    raw1 = jnp.concatenate([t_samp1.reshape(K, 6), nx1, ny1], axis=-1)
     omf = jnp.stack(
-        [omf_frame(objs.motion, tr0), omf_frame(objs.motion_inv, tr1)], axis=1
+        [omf_frame(objs.motion, tr0, jnp.zeros_like(raw1)),
+         omf_frame(objs.motion_inv, tr1, raw1)], axis=1
     ).astype(jnp.float32)                                 # [K,2,OMF_SIZE]
 
     edges = jnp.stack([_edge_table(tr0, prims), _edge_table(tr1, prims)],
@@ -468,11 +477,11 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
     if has_warp:
         obj_aux, bg_aux = warp_aux
 
-    P, PBG, xs, ys, xsb, ysb = ps.resample_params(spec, H, W)
+    P, PBG, xs, ys, xsb, ysb, tsp = ps.resample_params(spec, H, W)
     frames, flow, ids = ps.scene_render_pallas(
         count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges,
         slabs, bgslabs, obj_aux, bg_aux,
-        spec_key=(P, PBG, xs, ys, xsb, ysb, H, W),
+        spec_key=(P, PBG, xs, ys, xsb, ysb, tsp, H, W),
         use_aa=cfg.use_antialiasing,
         inverse_flow=cfg.compute_inverse_flow,
         emit_masks=cfg.emit_masks,

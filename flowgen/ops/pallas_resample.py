@@ -205,8 +205,7 @@ def resample_rows_in_kernel(
     x0, y0,            # window origin in OUTPUT coords (traced scalars)
     wh: int, ww: int,  # static window size; ww mult of 128, wh mult of 8
     P: int,            # static pass-1 row count (max_row_span), mult of 8
-    t1_ref,            # VMEM scratch (3, P, ww) f32
-    t1t_ref,           # VMEM scratch (ww, Pp) f32, Pp = round_up(P, 128)
+    t1t_ref,           # VMEM scratch (3, ww, Pp) f32, Pp = round_up(P, 128)
     outt_ref,          # VMEM scratch (ww, round_up(wh, 128)) f32
     x_tiles_scan: int,  # scan_tiles_pass1(...)
     y_tiles_scan: int,  # scan_tiles_pass2(..., xchunk=128)
@@ -218,14 +217,16 @@ def resample_rows_in_kernel(
     kernel — the scene megakernel DMAs rows from HBM itself and calls this."""
     A, B, C, c, d, f = coeffs
     SWp = rows_ref.shape[1] if sw is None else sw
-    Pp = t1t_ref.shape[1]
+    Pp = t1t_ref.shape[2]
     XCHUNK = 128 if ww >= 128 else ww
     w0f = w0.astype(jnp.float32)
 
-    # ---- pass 1: t1[w, x] = row_lerp(slab[w0 + w], A x + B (w0+w) + C) ----
-    # Row-chunked: each (RC, 128) block re-anchors its banded scan, so the
-    # shear drift |B|*rows only spans one chunk (x_tiles_scan is sized for
-    # PASS1_CHUNK, not P).
+    # ---- pass 1: t1t[ch, x, w] = row_lerp(slab[w0 + w], A x + B (w0+w) + C)
+    # written TRANSPOSED per (RC, 128) block, so pass 2 consumes it directly
+    # (the old separate full-matrix transpose re-read pass-1's whole output
+    # per channel — pure VMEM traffic, now deleted). Row-chunked: each block
+    # re-anchors its banded scan, so the shear drift |B|*rows only spans one
+    # chunk (x_tiles_scan is sized for PASS1_CHUNK, not P).
     for xt in range(ww // 128):
         for r0 in range(0, P, PASS1_CHUNK):
             rc = min(PASS1_CHUNK, P - r0)
@@ -250,15 +251,14 @@ def resample_rows_in_kernel(
                 SWp // 128,
             )
             for ch, (v0, v1) in enumerate(zip(_unpack3(p0), _unpack3(p1))):
-                t1_ref[ch, r0 : r0 + rc, xt * 128 : (xt + 1) * 128] = (
-                    v0 + (v1 - v0) * fx
-                )
+                t1t_ref[
+                    ch, xt * 128 : (xt + 1) * 128, r0 : r0 + rc
+                ] = (v0 + (v1 - v0) * fx).T
 
-    # ---- pass 2 on the transposed intermediate ----
+    # ---- pass 2 on the (already transposed) intermediate ----
     whp = _round_up(wh, 128)
     outs = []
     for ch in range(3):
-        t1t_ref[:, :P] = t1_ref[ch, :P].T  # (ww, P)
         for yt in range(whp // 128):
             for xc in range(ww // XCHUNK):
                 yg = (
@@ -280,8 +280,9 @@ def resample_rows_in_kernel(
                 v0i = vf.astype(jnp.int32)
                 v1i = jnp.minimum(v0i + 1, P - 1)
                 q0, q1 = _banded_tap_pair(
-                    lambda base, _xc=xc: t1t_ref[
-                        _xc * XCHUNK : (_xc + 1) * XCHUNK, pl.ds(base, 128)
+                    lambda base, _xc=xc, _ch=ch: t1t_ref[
+                        _ch, _xc * XCHUNK : (_xc + 1) * XCHUNK,
+                        pl.ds(base, 128)
                     ],
                     v0i, v1i, y_tiles_scan,
                     jnp.zeros((XCHUNK, 128), jnp.float32),
@@ -296,7 +297,7 @@ def resample_rows_in_kernel(
 
 def resample_affine_in_kernel(
     slab_ref, coeffs, x0, y0, wh, ww, P,
-    rows_ref, t1_ref, t1t_ref, outt_ref, x_tiles_scan, y_tiles_scan,
+    rows_ref, t1t_ref, outt_ref, x_tiles_scan, y_tiles_scan,
 ):
     """Convenience wrapper when the whole slab is already in VMEM: computes
     the pass-1 row start, stages the row block, and resamples. (Mosaic loads
@@ -305,7 +306,7 @@ def resample_affine_in_kernel(
     rows_ref[...] = slab_ref[pl.ds(w0, P), :]
     return resample_rows_in_kernel(
         rows_ref, w0, coeffs, x0, y0, wh, ww, P,
-        t1_ref, t1t_ref, outt_ref, x_tiles_scan, y_tiles_scan,
+        t1t_ref, outt_ref, x_tiles_scan, y_tiles_scan,
     )
 
 
@@ -329,12 +330,12 @@ def affine_resample_pallas(
     Pp = _round_up(P, 128)
     SWp = slab.shape[1]
 
-    def kernel(coef_ref, org_ref, slab_ref, out_ref, rows_ref, t1_ref,
+    def kernel(coef_ref, org_ref, slab_ref, out_ref, rows_ref,
                t1t_ref, outt_ref):
         coeffs = tuple(coef_ref[i] for i in range(6))
         r, g, b = resample_affine_in_kernel(
             slab_ref, coeffs, org_ref[0], org_ref[1], wh, ww, P,
-            rows_ref, t1_ref, t1t_ref, outt_ref, x_tiles_scan, y_tiles_scan,
+            rows_ref, t1t_ref, outt_ref, x_tiles_scan, y_tiles_scan,
         )
         out_ref[0] = r
         out_ref[1] = g
@@ -354,8 +355,7 @@ def affine_resample_pallas(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((P, SWp), jnp.int32),
-            pltpu.VMEM((3, P, ww), jnp.float32),
-            pltpu.VMEM((ww, Pp), jnp.float32),
+            pltpu.VMEM((3, ww, Pp), jnp.float32),
             pltpu.VMEM((ww, _round_up(wh, 128)), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -427,7 +427,6 @@ def resample_rows_f32(
     rows_ref,          # VMEM (P, SWp) f32: field rows [w0, w0+P) pre-staged
     w0, coeffs, x0, y0,
     wh: int, ww: int, P: int,
-    t1_ref,            # VMEM scratch (P, ww) f32
     t1t_ref,           # VMEM scratch (ww, Pp) f32
     outt_ref,          # VMEM scratch (ww, round_up(wh, 128)) f32
     x_tiles_scan: int, y_tiles_scan: int,
@@ -435,7 +434,8 @@ def resample_rows_f32(
 ):
     """Single-channel f32 twin of :func:`resample_rows_in_kernel` — used to
     sample smooth warp-field planes through an affine (forward-field flow
-    lookups at moved positions, x2-upscaled background fields). Returns one
+    lookups at moved positions, x2-upscaled background fields). Pass 1 is
+    written transposed per block, like the 3-channel version. Returns one
     (wh, ww) f32 plane."""
     A, B, C, c, d, f = coeffs
     SWp = rows_ref.shape[1] if sw is None else sw
@@ -466,12 +466,11 @@ def resample_rows_f32(
                 u0i, u1i, x_tiles_scan, jnp.zeros((rc, 128), jnp.float32),
                 SWp // 128,
             )
-            t1_ref[r0 : r0 + rc, xt * 128 : (xt + 1) * 128] = (
+            t1t_ref[xt * 128 : (xt + 1) * 128, r0 : r0 + rc] = (
                 p0 + (p1 - p0) * fx
-            )
+            ).T
 
     whp = _round_up(wh, 128)
-    t1t_ref[:, :P] = t1_ref[:P].T
     for yt in range(whp // 128):
         for xc in range(ww // XCHUNK):
             yg = (

@@ -105,7 +105,10 @@ OMI_SIZE = 16
 # objmeta_f layout (per object, per frame)
 OMF_MOTION = 0      # flow motion 2x3 row-major (motion fwd / inverse)
 OMF_ELL = 8         # + c*8: ellipse inverse transform (6), rx, ry
-OMF_SIZE = 64
+OMF_RAW = 64        # frame 1 only: RAW residual texture-sampling affine (6)
+                    # + reflect periods (nx, ny) — folded IN-KERNEL per
+                    # sub-window when tsplit > 1 (texture_split)
+OMF_SIZE = 72
 
 # tilemeta layouts (per object, frame, tile slot)
 TMI_Y0 = 0          # window origin (snapped)
@@ -271,14 +274,17 @@ def fused_eligible(spec, height: int, width: int,
     Any rotation envelope is eligible (quadrant factoring, see
     :func:`quadrant_needed`) and so is every mode/output combination
     including nonrigid + inverse flow (the displaced-mask chain and the
-    inverse-affine overwrite run in-kernel); only alignment-unfriendly frame
-    dims fall back to the windowed path."""
-    del spec, inverse_flow
+    inverse-affine overwrite run in-kernel); alignment-unfriendly frame dims
+    fall back to the windowed path, as do mode/frame-size combinations whose
+    motion envelope fits no texture sub-tiling (:func:`texture_split` — e.g.
+    mode 13 below 256-px-wide frames)."""
+    del inverse_flow
     return (
         height % 8 == 0
         and width % 128 == 0
         and height >= 8
         and width >= 128
+        and texture_split(spec, height, width) is not None
     )
 
 
@@ -294,23 +300,65 @@ def _scan_counts(rot: float, inv_s: float, rows: int, ww: int):
     return xs, ys
 
 
+def texture_split(spec, height: int, width: int):
+    """Static frame-1 texture sub-tiling factor, or None if no valid factor
+    exists. The in-kernel resample folds the reflect wrap ONCE per window at
+    its center (scalar_fold_coeffs / compose.fused._fold_coeffs), which is
+    only exact while the window's whole source footprint stays inside the
+    slab's reflected margin: radius = window_diag/2 * max_inverse_scale must
+    fit SLAB_MARGIN, and the pass-1 row span must fit the slab height. Modes
+    with small scale envelopes (<= ~1.6x inverse) satisfy both at the full
+    192x256 window (split 1); the doubled/tripled-motion modes 11 and 13
+    (inverse scale 1.94 / 3.17) need 2x2 sub-tiling of the texture resample
+    — each sub-window gets its own fold, DMA, and two-pass resample, while
+    coverage/ownership/flow stay at full windows."""
+    wh, ww = min(WIN_H, height), min(WIN_W, width)
+    rot_o, inv_o = mode_envelope(spec, height, width)
+    rot_o = min(rot_o, math.pi / 4)
+    SH = _round_up(height + 2 * SLAB_MARGIN, 8)
+    if quadrant_needed(spec):
+        # Quadrant slabs are padded to the taller of both orientations
+        # (_stack_quadrant), so the row-span bound relaxes accordingly.
+        SH = max(SH, _round_up(width + 2 * SLAB_MARGIN, 8))
+    for s in (1, 2):
+        whs, wws = wh // s, ww // s
+        if whs % 8 or wws % 128:
+            continue
+        radius = 0.5 * math.hypot(whs, wws) * inv_o
+        Ps = resamp.max_row_span(whs, wws, rot_o + 1e-6, inv_o)
+        # P == SH is valid: pass1_row_start clamps w0 to 0 and the whole
+        # slab is staged.
+        if radius + 2.0 <= SLAB_MARGIN and Ps <= SH:
+            return s
+    return None
+
+
 def resample_params(spec, height: int, width: int):
-    """Static (P_obj, P_bg, x_scan, y_scan, x_scan_bg, y_scan_bg): separate
-    pass-1 row spans AND banded scan counts for the object motion envelope
-    and the (usually much tighter) background texture chain — the
+    """Static (P_obj, P_bg, x_scan, y_scan, x_scan_bg, y_scan_bg, tsplit):
+    separate pass-1 row spans AND banded scan counts for the object motion
+    envelope and the (usually much tighter) background texture chain — the
     background's row DMA, pass-1 compute, and per-block scan loops all
-    shrink to its own envelope (mode 7: 3/3 vs the objects' 4/4)."""
+    shrink to its own envelope (mode 7: 3/3 vs the objects' 4/4). The object
+    figures are for one (wh/tsplit, ww/tsplit) texture sub-window (see
+    :func:`texture_split`)."""
     wh, ww = min(WIN_H, height), min(WIN_W, width)
     rot_o, inv_o = mode_envelope(spec, height, width)
     # Quadrant factoring caps the residual rotation at 45 deg (see
     # quadrant_needed); the scan/span envelopes only ever see the residual.
     rot_o = min(rot_o, math.pi / 4)
     rot_b, inv_b = bg_envelope(spec)
-    P = resamp.max_row_span(wh, ww, rot_o + 1e-6, inv_o)
+    ts = texture_split(spec, height, width)
+    if ts is None:
+        raise ValueError(
+            f"mode {spec.mode}'s motion envelope (inverse scale {inv_o:.2f})"
+            f" does not fit the {SLAB_MARGIN}-px slab margin at any texture"
+            f" sub-tiling of a {wh}x{ww} window; use the windowed path"
+        )
+    P = resamp.max_row_span(wh // ts, ww // ts, rot_o + 1e-6, inv_o)
     PBG = resamp.max_row_span(wh, ww, rot_b + 1e-6, inv_b)
-    xs, ys = _scan_counts(rot_o, inv_o, P, ww)
+    xs, ys = _scan_counts(rot_o, inv_o, P, ww // ts)
     xsb, ysb = _scan_counts(rot_b, inv_b, PBG, ww)
-    return P, PBG, xs, ys, xsb, ysb
+    return P, PBG, xs, ys, xsb, ysb, ts
 
 
 def _unpack3f(v):
@@ -332,9 +380,15 @@ def _pack3f(r, g, b):
 def _make_scene_kernel(
     H, W, K, C, E, EP, P, PBG, xscan, yscan, xscanb, yscanb, SHs, SWs, SHb,
     SWb, use_aa, inverse_flow, has_warp=False, emit_masks=False,
-    debug_level=3,
+    debug_level=3, tsplit=1,
 ):
     wh, ww = min(WIN_H, H), min(WIN_W, W)
+    # Frame-1 texture sub-windows (texture_split): whs x wws resamples, each
+    # with its own in-kernel reflect fold; P is sized for ONE sub-window.
+    whs, wws = wh // tsplit, ww // tsplit
+    assert tsplit == 1 or not has_warp, (
+        "texture sub-tiling is never needed for warp modes (small envelopes)"
+    )
     whE = min(wh + 2 * WARP_EY, H)
     wwE = min(ww + 2 * WARP_EX, W)
     whEp = _round_up(whE, 128)
@@ -373,14 +427,14 @@ def _make_scene_kernel(
         if emit_masks:
             ids_out = refs[i]; i += 1
         (acc0, acc1, accf, smeta, omi, omf, tmi, tmf, bgm, wl,
-         es0, es1, rows0, rows1, t1, t1t, outt,
-         cov_aa, cov_in, cov_area) = refs[i:i + 20]
-        i += 20
+         es0, es1, rows0, rows1, t1t, outt,
+         cov_aa, cov_in, cov_area) = refs[i:i + 19]
+        i += 19
         if has_warp:
             (covE_aa, covE_in, covE_area, texE, igbuf, ivbuf,
-             dtmp, dtmpT, frows, ft1,
-             bgwork, bggbuf, bgtmp, bgtmpT) = refs[i:i + 14]
-            i += 14
+             dtmp, dtmpT, frows,
+             bgwork, bggbuf, bgtmp, bgtmpT) = refs[i:i + 13]
+            i += 13
         if emit_masks:
             idacc = refs[i]; i += 1
         sems = refs[i]
@@ -565,12 +619,13 @@ def _make_scene_kernel(
             ).astype(jnp.float32)
 
         def blend_window(acc_frame, y0, x0, m, tr, tg, tb):
-            win = acc_frame[pl.ds(y0, wh), pl.ds(x0, ww)]
+            bh, bw = m.shape  # full (wh, ww) window or one texture sub-window
+            win = acc_frame[pl.ds(y0, bh), pl.ds(x0, bw)]
             fr, fg, fb = _unpack3f(win)
             fr = jnp.round(fr * (1.0 - m) + tr * m)
             fg = jnp.round(fg * (1.0 - m) + tg * m)
             fb = jnp.round(fb * (1.0 - m) + tb * m)
-            acc_frame[pl.ds(y0, wh), pl.ds(x0, ww)] = _pack3f(fr, fg, fb)
+            acc_frame[pl.ds(y0, bh), pl.ds(x0, bw)] = _pack3f(fr, fg, fb)
 
         def write_ids(k, frame, mask01, y0, x0):
             # Painter's index image: the object id where the binary mask
@@ -638,7 +693,7 @@ def _make_scene_kernel(
             fdma.wait()
             return resamp.resample_rows_f32(
                 frows.at[:PF], w0, coeffs, x0, y0, wh, ww, PF,
-                ft1.at[:PF], t1t, outt, xsc or xscan, ysc or yscan, sw=W,
+                t1t.at[0], outt, xsc or xscan, ysc or yscan, sw=W,
             )
 
         def sample_wf_at_moved(k, frame, slot, ch, y0, x0):
@@ -674,17 +729,34 @@ def _make_scene_kernel(
                 sem,
             )
 
-        def tex_dma_f1(k, t, rows_ref, sem):
+        def tex_dma_f1(k, t, rows_ref, sem, sy=0, sx=0):
+            """Frame-1 texture row DMA for sub-window (sy, sx) of tile t.
+            tsplit == 1: one full-window resample through the XLA-precomputed
+            per-tile fold (TMF). tsplit > 1 (modes 11/13): the fold is chosen
+            IN-KERNEL at each sub-window's center from the raw residual
+            affine (OMF_RAW) so every sub-footprint stays inside the slab's
+            reflect margin (texture_split)."""
             y0, x0 = tile_origin(k, 1, t)
             tid = OMI(k, 1, OMI_TEX)
-            coeffs = tuple(TMF(k, 1, t, j) for j in range(6))
-            w0 = resamp.pass1_row_start(coeffs, x0, y0, wh, ww, P, SHs)
+            if tsplit == 1:
+                coeffs = tuple(TMF(k, 1, t, j) for j in range(6))
+                oy, ox = y0, x0
+            else:
+                raw = tuple(OMF(k, 1, OMF_RAW + j) for j in range(6))
+                oy = y0 + sy * whs
+                ox = x0 + sx * wws
+                coeffs = scalar_fold_coeffs(
+                    raw, ox.astype(jnp.float32) + wws / 2.0,
+                    oy.astype(jnp.float32) + whs / 2.0,
+                    OMF(k, 1, OMF_RAW + 6), OMF(k, 1, OMF_RAW + 7),
+                )
+            w0 = resamp.pass1_row_start(coeffs, ox, oy, whs, wws, P, SHs)
             dma = pltpu.make_async_copy(
                 slabs_hbm.at[tid, pl.ds(w0, P), :],
                 rows_ref.at[:P, :SWs],
                 sem,
             )
-            return dma, coeffs, w0
+            return dma, coeffs, w0, oy, ox
 
         def start_unit(frame, j, eref, rows_ref, sem_e, sem_t):
             k, t = unit_kt(frame, j)
@@ -715,25 +787,45 @@ def _make_scene_kernel(
             def standard():
                 coverage_into(eref, k, frame, y0, x0, cov_aa, cov_in,
                               cov_area, wh, ww)
-                if frame == 0:
-                    tex_dma = tex_dma_f0(k, t, rows_ref, sem_t)
-                else:
-                    tex_dma, coeffs, w0 = tex_dma_f1(k, t, rows_ref, sem_t)
                 if debug_level < 3:
-                    tex_dma.wait()
+                    if frame == 0:
+                        tex_dma_f0(k, t, rows_ref, sem_t).wait()
+                    else:
+                        tex_dma_f1(k, t, rows_ref, sem_t)[0].wait()
                     return
                 own = own_mask(k, frame, t, y0, x0)
                 m = (cov_aa[:] if use_aa else cov_in[:]) * own
 
-                tex_dma.wait()
                 if frame == 0:
+                    tex_dma_f0(k, t, rows_ref, sem_t).wait()
                     tr, tg, tb = _unpack3f(rows_ref[:wh, :ww])
+                    blend_window(acc_frame, y0, x0, m, tr, tg, tb)
                 else:
-                    tr, tg, tb = resamp.resample_rows_in_kernel(
-                        rows_ref, w0, coeffs, x0, y0, wh, ww, P,
-                        t1, t1t, outt, xscan, yscan, sw=SWs,
-                    )
-                blend_window(acc_frame, y0, x0, m, tr, tg, tb)
+                    # tsplit x tsplit texture sub-windows, each with its own
+                    # center fold + row DMA + two-pass resample, blended
+                    # under the full window's coverage slice. Sub (0, 0) was
+                    # prefetched by start_unit; the rest run serially in the
+                    # same slot (the other slot holds the next unit's
+                    # prefetch).
+                    for sy in range(tsplit):
+                        for sx in range(tsplit):
+                            dma, coeffs, w0, oy, ox = tex_dma_f1(
+                                k, t, rows_ref, sem_t, sy, sx
+                            )
+                            if (sy, sx) != (0, 0):
+                                dma.start()
+                            dma.wait()
+                            tr, tg, tb = resamp.resample_rows_in_kernel(
+                                rows_ref, w0, coeffs, ox, oy, whs, wws, P,
+                                t1t if tsplit == 1 else t1t.at[:, :wws],
+                                outt if tsplit == 1 else outt.at[:wws],
+                                xscan, yscan, sw=SWs,
+                            )
+                            msub = m[
+                                sy * whs : sy * whs + whs,
+                                sx * wws : sx * wws + wws,
+                            ]
+                            blend_window(acc_frame, oy, ox, msub, tr, tg, tb)
                 if emit_masks:
                     write_ids(k, frame, cov_in[:] * own_mask(k, frame, t,
                                                             y0, x0), y0, x0)
@@ -839,7 +931,7 @@ def _make_scene_kernel(
                         tdma.wait()
                         tr, tg, tb = resamp.resample_rows_in_kernel(
                             rows_ref, w0, coeffs, ox, oy, wh, ww, P,
-                            t1, t1t, outt, xscan, yscan, sw=SWs,
+                            t1t, outt, xscan, yscan, sw=SWs,
                         )
                         texE[0, ly : ly + wh, lx : lx + ww] = tr
                         texE[1, ly : ly + wh, lx : lx + ww] = tg
@@ -931,7 +1023,7 @@ def _make_scene_kernel(
                 bdma.wait()
                 writer(*resamp.resample_rows_in_kernel(
                     rows_ref, w0, coeffs, jnp.int32(ox), jnp.int32(oy),
-                    wh, ww, PBG, t1, t1t, outt, xscanb, yscanb, sw=SWb,
+                    wh, ww, PBG, t1t, outt, xscanb, yscanb, sw=SWb,
                 ))
 
         def acc_writer(acc_frame, y0s, x0s):
@@ -1186,13 +1278,14 @@ def scene_render_pallas(
     their last two dims to (8, 128), which inflates these tables ~50x past
     the 1 MB SMEM budget).
 
-    ``spec_key``: hashable (P, PBG, xscan, yscan, xscanb, yscanb, H, W)
-    static tuple from ``resample_params`` + frame dims. Returns
+    ``spec_key``: hashable (P, PBG, xscan, yscan, xscanb, yscanb, tsplit,
+    H, W) static tuple from ``resample_params`` + frame dims (``P``/scans
+    are per texture sub-window, see :func:`texture_split`). Returns
     (frames (B,2,H,W) i32, flow (B,2 or 4,H,W) f32).
     """
     from ..config import MAX_COMPONENTS, MAX_EDGES
 
-    P, PBG, xscan, yscan, xscanb, yscanb, H, W = spec_key
+    P, PBG, xscan, yscan, xscanb, yscanb, tsplit, H, W = spec_key
     B, K = order.shape
     EP = edges.shape[-1]
     C = MAX_COMPONENTS
@@ -1213,6 +1306,7 @@ def scene_render_pallas(
     kernel = _make_scene_kernel(
         H, W, K, C, E, EP, P, PBG, xscan, yscan, xscanb, yscanb, SHs, SWs,
         SHb, SWb, use_aa, inverse_flow, has_warp, emit_masks, debug_level,
+        tsplit,
     )
 
     # Flatten + pad the metadata to (B, mult-of-128) HBM rows.
@@ -1271,8 +1365,7 @@ def scene_render_pallas(
         pltpu.SMEM((4, EP), jnp.float32),
         pltpu.VMEM((Pmax, rows_w), jnp.int32),
         pltpu.VMEM((Pmax, rows_w), jnp.int32),
-        pltpu.VMEM((3, Pmax, ww), jnp.float32),
-        pltpu.VMEM((ww, Pp), jnp.float32),
+        pltpu.VMEM((3, ww, Pp), jnp.float32),
         pltpu.VMEM((ww, _round_up(wh, 128)), jnp.float32),
         pltpu.VMEM((wh, ww), jnp.float32),
         pltpu.VMEM((wh, ww), jnp.float32),
@@ -1292,7 +1385,6 @@ def scene_render_pallas(
             pltpu.VMEM((whE, ww), jnp.float32),      # dtmp
             pltpu.VMEM((ww, whEp), jnp.float32),     # dtmpT
             pltpu.VMEM((P, Wp), jnp.float32),        # frows
-            pltpu.VMEM((P, ww), jnp.float32),        # ft1
             pltpu.VMEM((3, HB, WB), jnp.float32),    # bgwork (extended bg)
             pltpu.VMEM((whB, ww), jnp.float32),      # bggbuf
             pltpu.VMEM((whB, ww), jnp.float32),      # bgtmp

@@ -205,6 +205,54 @@ def test_fused_mode9_inverse_flow():
     assert (di > 0.1).mean() < 0.01
 
 
+def test_fused_texture_split():
+    """Frame-1 texture sub-tiling (ps.texture_split == 2) for envelopes that
+    exceed the slab fold margin at full windows. Before sub-tiling, mode 13
+    at >= 256-wide frames crashed outright (pass-1 row span 1200 > slab
+    height) and mode 11 could read fold-invalid rows for extreme samples
+    (footprint radius 310 > SLAB_MARGIN 256). Flow must stay exact vs the
+    windowed path; frames match the exact-bilinear ideal up to the quadrant
+    modes' documented 45-deg shear-conditioning extremes (measured at
+    192x256 seed 3: frame0 max 1 level; frame1 isolated pixels to 8/22
+    levels on < 1e-3 of pixels, modes 13/11)."""
+    from flowgen.ops.pallas_scene import resample_params, texture_split
+
+    Wb, Hb = 256, 192
+    spec11 = flowgen.DataGenConfig(mode=11).mode_spec
+    spec13 = flowgen.DataGenConfig(mode=13).mode_spec
+    assert texture_split(spec11, Hb, Wb) == 2
+    assert texture_split(spec13, Hb, Wb) == 2
+    assert resample_params(spec13, Hb, Wb)[0] == 608  # one sub-window's span
+
+    cfg = flowgen.DataGenConfig(
+        mode=13, batch_size=2, width=Wb, height=Hb, use_pallas="never"
+    )
+    atlas = jnp.asarray(
+        flowgen.procedural_atlas(3, height=Hb, width=Wb), jnp.float32
+    )
+    quad = jax.jit(prepare_atlas)(atlas)
+    slabs = prepare_slabs(
+        quad[..., :3], Hb, Wb, quadrant=quadrant_needed(cfg.mode_spec)
+    )
+    bgslabs = prepare_bg_slabs(quad[..., :3])
+    scenes = sample_scene_batch(root_key(3), jnp.arange(2), cfg, n_warp_slots=1)
+    ref = render_batch(scenes, quad, cfg)
+    ideal = _true_reflect_render(scenes, quad, cfg)
+    out = render_batch_fused(
+        scenes, slabs, bgslabs, (atlas.shape[1], atlas.shape[2]), cfg,
+        interpret=True,
+    )
+    df = np.abs(np.asarray(out[2]) - np.asarray(ref[2]))
+    assert df.max() < 1e-3
+    d0 = np.abs(np.asarray(out[0], np.float32) - np.asarray(ideal[0], np.float32))
+    assert d0.max() <= 2.0 + 1e-5
+    d1 = np.abs(np.asarray(out[1], np.float32) - np.asarray(ideal[1], np.float32))
+    assert (d1 >= 2.0).mean() < 2e-3
+    assert (d1 >= 4.0).mean() < 2e-4
+    assert (d1 > 0.5).mean() < 0.08
+    assert d1.max() <= 32.0
+
+
 def test_eligibility_gates():
     spec7 = flowgen.DataGenConfig(mode=7).mode_spec
     spec9 = flowgen.DataGenConfig(mode=9).mode_spec
