@@ -110,7 +110,7 @@ def load_images(
             if res is not None:
                 out, ok = res
                 # Per-file fallback: PIL-decode only the stragglers the
-                # native tier can't handle (progressive JPEG, TIFF, ...) —
+                # native tier can't handle (TIFF, 12-bit JPEG, ...) —
                 # the reference decodes everything serially via CImg
                 # (DataGenerator.cpp:117-149); one exotic file must not
                 # forfeit the threaded decode of the rest.

@@ -85,7 +85,7 @@ def load_images_native(
 ) -> Optional[tuple]:
     """Threaded native decode of ``paths`` into a packed (N, out_h, out_w, 3)
     uint8 atlas. Returns ``(atlas, ok)`` where ``ok`` is a per-file bool mask
-    (False slots are undecoded — unsupported format, e.g. progressive JPEG —
+    (False slots are undecoded — unsupported format, e.g. TIFF —
     and the caller PIL-decodes only those), or None when the shared library
     itself is unavailable."""
     lib = _load()

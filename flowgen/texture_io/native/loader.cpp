@@ -8,9 +8,9 @@
 // parallel straight into the caller-provided atlas memory (zero-copy into
 // numpy).
 //
-// Supported formats: baseline JPEG (jpeg.cpp), PNG (via system zlib), binary
-// PPM/PGM, uncompressed 24/32-bit BMP. Anything else (progressive JPEG,
-// TIFF, ...) fails PER FILE: the ok[] output marks which slots were decoded,
+// Supported formats: sequential + progressive JPEG (jpeg.cpp), PNG (via
+// system zlib), binary PPM/PGM, uncompressed 24/32-bit BMP. Anything else
+// (TIFF, ...) fails PER FILE: the ok[] output marks which slots were decoded,
 // and the Python caller PIL-decodes only the stragglers — one exotic file in
 // a large database no longer forfeits the threaded decode of the rest.
 //

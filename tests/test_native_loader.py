@@ -110,17 +110,71 @@ def test_native_jpeg_matches_pil(have_native, tmp_path):
         pass
 
 
-def test_native_jpeg_progressive_falls_back_per_file(have_native, tmp_path,
-                                                     monkeypatch):
-    """One progressive JPEG in a database must not forfeit the threaded
-    decode of the rest: only THAT file goes through PIL (per-file fallback,
-    loader.cpp fg_load_images ok[]), and its pixels come out PIL-exact."""
+def test_native_jpeg_progressive_matches_pil(have_native, tmp_path):
+    """Progressive JPEG (SOF2: spectral selection + successive approximation,
+    jpeg.cpp annex-G scans) decodes natively and matches PIL/libjpeg up to
+    the documented chroma-upsampling difference; at 4:4:4 (no upsampling)
+    the decode is coefficient-exact (max deviation = IDCT rounding)."""
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:67, 0:93].astype(np.float32)
+    smooth = np.stack(
+        [128 + 90 * np.sin(xx / 19), 128 + 90 * np.cos(yy / 13),
+         128 + 60 * np.sin((xx + yy) / 29)], axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    noisy = np.random.default_rng(3).integers(0, 255, (64, 64, 3), np.uint8)
+
+    cases = [
+        ("p_q90_420", smooth, dict(progressive=True, quality=90), 2.0),
+        ("p_q95_444", smooth,
+         dict(progressive=True, quality=95, subsampling=0), 0.2),
+        ("p_q75_422", smooth,
+         dict(progressive=True, quality=75, subsampling=1), 2.0),
+        # 4:4:4 noisy content: any scan-decode bug explodes this bound.
+        ("p_noisy_444", noisy,
+         dict(progressive=True, quality=85, subsampling=0), 0.2),
+    ]
+    for name, img, kw, bound in cases:
+        p = str(tmp_path / f"{name}.jpg")
+        Image.fromarray(img).save(p, **kw)
+        out, ok = native.load_images_native([p], img.shape[0], img.shape[1])
+        assert ok[0], name
+        ref = np.asarray(Image.open(p).convert("RGB")).astype(int)
+        d = np.abs(out[0].astype(int) - ref)
+        assert d.mean() < bound, (name, d.mean())
+
+    # Grayscale progressive + restart markers inside progressive scans.
+    pg = str(tmp_path / "pgray.jpg")
+    Image.fromarray(smooth[..., 0], mode="L").save(
+        pg, progressive=True, quality=92)
+    out, ok = native.load_images_native([pg], 67, 93)
+    assert ok[0]
+    ref = np.asarray(Image.open(pg).convert("RGB")).astype(int)
+    assert np.abs(out[0].astype(int) - ref).mean() < 0.2
+    try:
+        pr = str(tmp_path / "prestart.jpg")
+        Image.fromarray(smooth).save(
+            pr, progressive=True, quality=90, restart_marker_blocks=4)
+        out, ok = native.load_images_native([pr], 67, 93)
+        assert ok[0]
+        ref = np.asarray(Image.open(pr).convert("RGB")).astype(int)
+        assert np.abs(out[0].astype(int) - ref).mean() < 2.0
+    except TypeError:
+        pass
+
+
+def test_native_unsupported_falls_back_per_file(have_native, tmp_path,
+                                                monkeypatch):
+    """One file the native tier can't decode (TIFF here) must not forfeit
+    the threaded decode of the rest: only THAT file goes through PIL
+    (per-file fallback, loader.cpp fg_load_images ok[]), and its pixels
+    come out PIL-exact."""
     from PIL import Image
 
     paths = _mk_textures(tmp_path)
     img = np.random.default_rng(1).integers(0, 255, (32, 32, 3), np.uint8)
-    p = str(tmp_path / "prog.jpg")
-    Image.fromarray(img).save(p, progressive=True, quality=90)
+    p = str(tmp_path / "odd.tiff")
+    Image.fromarray(img).save(p)
     paths.insert(2, p)
 
     _, ok = native.load_images_native(paths, 32, 32)
