@@ -147,6 +147,26 @@ def main():
         report("  object precompute only", pipelined(prep_obj_only, scenes_c))
         report("  bg meta payload only", pipelined(bgm_only, scenes_c))
 
+        # Inside prepare_scene_inputs: the transform/edge-table algebra vs
+        # the tile-grid/meta packing (the remainder).
+        from flowgen.ops import affine as affine_mod
+
+        @jax.jit
+        def edges_only(scenes):
+            def one(s):
+                prims = s.prims
+                intr = prims.intrinsic
+                tr0 = jnp.broadcast_to(intr, intr.shape)
+                tr1 = affine_mod.compose(intr, s.objects.motion[:, None])
+                e = jnp.stack([fused_mod._edge_table(tr0, prims),
+                               fused_mod._edge_table(tr1, prims)], axis=1)
+                ell = jnp.stack([fused_mod._ell_params(tr0, prims),
+                                 fused_mod._ell_params(tr1, prims)], axis=1)
+                return e, ell
+            return jax.vmap(one)(scenes)
+
+        report("    edge+ell tables only", pipelined(edges_only, scenes_c))
+
     if "kernel" in sections:
         inputs = jax.block_until_ready(prep_all(root, step, atlas))
         P, PBG, xs, ys, xsb, ysb, tsp = ps.resample_params(cfg.mode_spec, H, W)
