@@ -92,14 +92,33 @@ def make_quad(img):
 
 def sample_bilinear_quad(quad, x, y, wrap="reflect", channels=3):
     """Bilinear sample from a quad-packed table (see make_quad): ONE gather
-    per sample point. Semantics match :func:`sample_bilinear` except inside
-    mirrored wrap regions, where the +1 neighbor direction is not flipped
-    (sub-pixel deviation confined to out-of-texture folds)."""
+    per sample point. Matches :func:`sample_bilinear` exactly — reflect wrap
+    pre-folds the CONTINUOUS coordinate (see :func:`_reflect_fold_coord`), so
+    mirrored regions interpolate in the true (flipped) neighbor direction."""
     h, w = quad.shape[0], quad.shape[1]
     return sample_bilinear_quad_flat(
         quad.reshape(h * w, 4 * channels), jnp.int32(0), h, w, x, y,
         wrap=wrap, channels=channels,
     )
+
+
+def _reflect_fold_coord(x, n):
+    """Fold a continuous sample coordinate into the source range under AGG
+    reflect wrap so that in-range bilinear (with edge-clamped +1 neighbors,
+    make_quad) reproduces reflect-bilinear EXACTLY.
+
+    The mirror planes of index-reflect (i -> 2n-1-i) sit at texel edges
+    (x = -0.5 and x = n-0.5), so the continuous fold is
+    ``u = (x + 0.5) mod 2n; xr = u - 0.5 if u < n else (2n - u) - 0.5``.
+    In-range coordinates pass through UNTOUCHED (bit-identical to the
+    unfolded path — the +0.5/-0.5 round trip is only applied out of range);
+    the result is clipped to [0, n-1], where the clip reproduces the
+    boundary coincidence fold(n) = n-1 and fold(-1) = 0."""
+    period = 2.0 * n
+    u = jnp.remainder(x + 0.5, period)
+    xr = jnp.where(u < n, u - 0.5, (period - u) - 0.5)
+    in_range = (x >= 0) & (x <= n - 1)
+    return jnp.where(in_range, x, jnp.clip(xr, 0.0, n - 1.0))
 
 
 def sample_bilinear_quad_flat(flat, base, h, w, x, y, wrap="reflect",
@@ -110,12 +129,20 @@ def sample_bilinear_quad_flat(flat, base, h, w, x, y, wrap="reflect",
     of slicing the atlas first is what keeps a vmapped caller cheap: indexing
     a stacked atlas with per-sample traced ids under vmap would gather and
     materialize the full texture for every sample (~300 MB/batch observed)."""
+    if wrap == "reflect":
+        # Exact reflect: fold the continuous coordinates, then sample with
+        # clamp indexing (the quad rows' edge-clamped +1 neighbors coincide
+        # with reflect at the boundary, so the folded in-range sample is the
+        # true reflect-bilinear value).
+        x = _reflect_fold_coord(x, w)
+        y = _reflect_fold_coord(y, h)
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     fx = (x - x0f)[..., None]
     fy = (y - y0f)[..., None]
-    xi = _wrap_indices(x0f.astype(jnp.int32), w, wrap)
-    yi = _wrap_indices(y0f.astype(jnp.int32), h, wrap)
+    clamp_wrap = "clamp" if wrap == "reflect" else wrap
+    xi = _wrap_indices(x0f.astype(jnp.int32), w, clamp_wrap)
+    yi = _wrap_indices(y0f.astype(jnp.int32), h, clamp_wrap)
 
     rows = jnp.take(flat, base + yi * w + xi, axis=0).astype(jnp.float32)
     p00 = rows[..., 0 * channels : 1 * channels]

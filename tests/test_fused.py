@@ -4,10 +4,11 @@ windowed XLA path, run in Pallas interpreter mode on CPU.
 Flow must match the windowed path exactly (identical exact-area coverage and
 flow math). Frames are compared against a TRUE-reflect restatement of the
 windowed path (exact bilinear from the raw texture): the megakernel's slabs
-materialize AGG's reflect wrap exactly, whereas the quad-gather path carries
-a documented +1-neighbor deviation inside mirrored regions — so the fused
-path is the MORE faithful one, and agrees with the ideal reference to +-1
-intensity level (round knife-edges and sub-level two-pass shear only).
+materialize AGG's reflect wrap exactly, and since round 4 the quad-gather
+path is reflect-exact too (ops/texture._reflect_fold_coord), so the ideal
+differs from the windowed path only by lerp-direction rounding. The fused
+path agrees with the ideal reference to +-1 intensity level (round
+knife-edges and sub-level two-pass shear only).
 On-device equivalence: tools/check_pallas_tpu.py.
 """
 

@@ -104,6 +104,43 @@ def test_vs_direct_bilinear(img, slab, name, rot, zoom, tx, ty):
         assert d.mean() < 8.0 and d.max() < 64.0, (name, d.mean(), d.max())
 
 
+def test_quad_gather_reflect_exact():
+    """The one-gather quad sampler reproduces exact reflect-bilinear
+    (sample_bilinear) EVERYWHERE — including deep mirrored folds, where the
+    continuous pre-fold (texture._reflect_fold_coord) flips the
+    interpolation direction. In-range coordinates are bit-identical (the
+    fold is bypassed there); folded ones differ only by lerp-direction
+    rounding (lerp(a,b,1-f) vs lerp(b,a,f))."""
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.integers(0, 255, (23, 31, 3)).astype(np.float32))
+    quad = texture.make_quad(img)
+
+    xs = np.concatenate([
+        rng.uniform(-200, 200, 3000),
+        np.arange(-70, 70, 0.5),          # exact integers and halves
+        np.array([30.0, 30.9999, 31.0001, -0.0001, -0.5, -1.0, 61.5, 62.0]),
+    ]).astype(np.float32)
+    ys = np.concatenate([
+        rng.uniform(-150, 150, 3000),
+        np.arange(-47, 46.9, 0.335),
+        np.full(8, 5.25),
+    ]).astype(np.float32)
+    n = min(len(xs), len(ys))
+    xs, ys = jnp.asarray(xs[:n]), jnp.asarray(ys[:n])
+
+    exact = np.asarray(texture.sample_bilinear(img, xs, ys, wrap="reflect"))
+    fast = np.asarray(texture.sample_bilinear_quad(quad, xs, ys,
+                                                   wrap="reflect"))
+    np.testing.assert_allclose(fast, exact, atol=5e-3)
+
+    xi = jnp.asarray(rng.uniform(0, 30.0, 1000).astype(np.float32))
+    yi = jnp.asarray(rng.uniform(0, 22.0, 1000).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(texture.sample_bilinear_quad(quad, xi, yi, wrap="reflect")),
+        np.asarray(texture.sample_bilinear(img, xi, yi, wrap="reflect")),
+    )
+
+
 def test_reflect_pad_matches_wrap_indices():
     rng = np.random.default_rng(1)
     a = rng.integers(0, 255, (8, 11)).astype(np.int32)

@@ -11,12 +11,13 @@ Two comparisons per mode, from the same concrete inputs:
    exactly except where backend f32 differences straddle a .5 boundary.
 
 2. **Fused vs windowed (both on TPU)** — path equivalence, statistical. The
-   two paths resample through different (both documented) chains: quad
-   gathers with the +1-neighbor mirror deviation vs true-reflect slabs, and
-   the fused path rounds frames; images therefore differ sub-level almost
-   everywhere and the comparison bounds the distribution, not the max. Flow
-   uses identical coverage math and must match exactly for rigid modes
-   (median + outliers for mode 9's two displacement-warp formulations).
+   two paths resample through different (both documented, both
+   reflect-exact) chains: point-wise quad gathers vs the banded two-pass
+   over true-reflect slabs, and the fused path rounds frames; images
+   therefore differ sub-level almost everywhere and the comparison bounds
+   the distribution, not the max. Flow uses identical coverage math and
+   must match exactly for rigid modes (median + outliers for mode 9's two
+   displacement-warp formulations).
 
 A third check, selected with the pseudo-mode ``bank``, certifies the mode-9
 CONTENT contract (cfg.warp_bank_impl="pallas" on every backend): the banded
@@ -298,13 +299,12 @@ def main():
         else:
             f2 = float(dflow2.max())
             okf = f2 == 0.0
-        # Flow gates (identical coverage math through two code paths); the
-        # image stats are informational only — the windowed path's quad-
-        # gather chain carries its documented +1-neighbor mirror deviation
-        # over every mirrored background region (~30% of frame-1 pixels
-        # under big bg motions), so the distribution reflects THAT path's
-        # distance from the ideal, not the megakernel's (which comparison 1
-        # plus tests/test_fused.py's fused-vs-ideal bounds pin down).
+        # Flow gates (identical exact coverage math through two code paths);
+        # the image stats bound the residual distribution between the two
+        # (both reflect-exact since round 4) resampling chains: the fused
+        # path's two-pass shear interpolation + frame rounding vs the
+        # windowed path's point-wise quad gathers. tests/test_fused.py's
+        # fused-vs-ideal bounds pin the megakernel's own fidelity.
         ok2 = okf and dmed <= 1.0
         res["fused_vs_windowed"] = {
             "flow_dev": f2,
