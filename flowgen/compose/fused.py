@@ -201,7 +201,7 @@ def envelope_violations(scenes: Scene, cfg: DataGenConfig, bgm=None):
     H, W = cfg.height, cfg.width
     spec = cfg.mode_spec
     wh, ww = min(ps.WIN_H, H), min(ps.WIN_W, W)
-    P, PBG, xs, ys, xsb, ysb, tsp = ps.resample_params(spec, H, W)
+    P, PBG, xs, ys, xsb, ysb, tsp, _, _ = ps.resample_params(spec, H, W)
     whs, wws = wh // tsp, ww // tsp
     chunk = float(min(resamp.PASS1_CHUNK, max(P, PBG)))
     xchunk = float(min(128, wws))
@@ -477,11 +477,11 @@ def render_batch_fused(scenes: Scene, slabs, bgslabs, src_hw,
     if has_warp:
         obj_aux, bg_aux = warp_aux
 
-    P, PBG, xs, ys, xsb, ysb, tsp = ps.resample_params(spec, H, W)
+    P, PBG, xs, ys, xsb, ysb, tsp, cwo, cwb = ps.resample_params(spec, H, W)
     frames, flow, ids = ps.scene_render_pallas(
         count, order, bg_meta, omi, omf, tmi, tmf, bgm, edges,
         slabs, bgslabs, obj_aux, bg_aux,
-        spec_key=(P, PBG, xs, ys, xsb, ysb, tsp, H, W),
+        spec_key=(P, PBG, xs, ys, xsb, ysb, tsp, cwo, cwb, H, W),
         use_aa=cfg.use_antialiasing,
         inverse_flow=cfg.compute_inverse_flow,
         emit_masks=cfg.emit_masks,

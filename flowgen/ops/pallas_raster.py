@@ -111,23 +111,37 @@ def _area_accumulate_blocked(edges_ref, base, n_edges, oy, ox, area_ref,
         rb0 = jnp.clip(rlo, 0, gh) >> 3
         rb1 = (jnp.clip(rhi, -1, gh - 1) >> 3) + 1
 
+        # Edges entirely LEFT of the window contribute exactly 0 (every
+        # clip(x - xlo, 0, 1) term is 0 there — unlike right-side edges,
+        # whose full-column contribution dy*(tb-ta) is load-bearing), so the
+        # block loop is branch-skipped for them: bit-exact, and multi-tile
+        # objects stop re-integrating their off-tile edges.
+        x_live = jnp.maximum(ax, bx) >= oxf
+
         def blk(rb, _):
             r8 = pl.multiple_of(rb * 8, 8)
+            # Row-only quantities on (8, 1): ta/tb (the slab-clipped edge
+            # parameter range) and the chord x at them depend only on the
+            # row, so computing them narrow and broadcasting saves ~1/4 of
+            # the wide VPU ops — values are bit-identical (same inputs per
+            # row, broadcast only replicates).
             ylo = (
-                lax.broadcasted_iota(jnp.int32, (8, gw), 0) + r8
+                lax.broadcasted_iota(jnp.int32, (8, 1), 0) + r8
             ).astype(jnp.float32) + oyf
             r0 = (ylo - ay) * inv_dy
             r1 = (ylo + 1.0 - ay) * inv_dy
             ta = jnp.clip(jnp.minimum(r0, r1), 0.0, 1.0)
             tb = jnp.clip(jnp.maximum(r0, r1), 0.0, 1.0)
+            xta = ax + ta * dx
+            xtb = ax + tb * dx
             s0 = (xlo - ax) * inv_dx
             s1 = (xlo + 1.0 - ax) * inv_dx
             p = jnp.clip(jnp.minimum(s0, s1), ta, tb)
             q = jnp.clip(jnp.maximum(s0, s1), ta, tb)
-            ga = jnp.clip(ax + ta * dx - xlo, 0.0, 1.0)
+            ga = jnp.clip(xta - xlo, 0.0, 1.0)
             gp = jnp.clip(ax + p * dx - xlo, 0.0, 1.0)
             gq = jnp.clip(ax + q * dx - xlo, 0.0, 1.0)
-            gb = jnp.clip(ax + tb * dx - xlo, 0.0, 1.0)
+            gb = jnp.clip(xtb - xlo, 0.0, 1.0)
             integral = (
                 ga * (p - ta) + 0.5 * (gp + gq) * (q - p) + gb * (tb - q)
             )
@@ -136,7 +150,10 @@ def _area_accumulate_blocked(edges_ref, base, n_edges, oy, ox, area_ref,
             )
             return 0
 
-        lax.fori_loop(rb0, jnp.minimum(rb1, nb), blk, 0)
+        @pl.when(x_live)
+        def _():
+            lax.fori_loop(rb0, jnp.minimum(rb1, nb), blk, 0)
+
         return 0
 
     lax.fori_loop(0, n_edges, edge, 0)

@@ -184,6 +184,21 @@ def _banded_tap_pair(block_at, idx0, idx1, n_tiles_scan: int, zero,
     return acc0, acc1
 
 
+def _pass1_rows_needed(coeffs, w0f, x0, y0, wh: int, ww: int, P: int):
+    """The actual source-row count pass 2 can read for THIS affine (pass 2's
+    v is bounded by the same window corners): max corner v - w0 + floor/lerp
+    slack, clamped to [1, P]. Out-of-envelope affines (v clamped at P-1 in
+    pass 2) saturate at P — every chunk computes, the pre-predication
+    behavior."""
+    _, _, _, c, d, f = coeffs
+    xs = (x0.astype(jnp.float32), x0.astype(jnp.float32) + (ww - 1))
+    ys = (y0.astype(jnp.float32), y0.astype(jnp.float32) + (wh - 1))
+    corners = [c * xx + d * yy + f for xx in xs for yy in ys]
+    vmax = jnp.maximum(jnp.maximum(corners[0], corners[1]),
+                       jnp.maximum(corners[2], corners[3]))
+    return jnp.clip(vmax - w0f + 3.0, 1.0, float(P))
+
+
 def pass1_row_start(coeffs, x0, y0, wh: int, ww: int, P: int, SH: int):
     """Pass-1 row-block start: source-v over the window corners, floor - 1,
     snapped to 8, clamped so [w0, w0+P) stays inside a height-``SH`` slab.
@@ -220,40 +235,47 @@ def resample_rows_in_kernel(
     Pp = t1t_ref.shape[2]
     XCHUNK = 128 if ww >= 128 else ww
     w0f = w0.astype(jnp.float32)
+    rows_need = _pass1_rows_needed(coeffs, w0f, x0, y0, wh, ww, P)
 
     # ---- pass 1: t1t[ch, x, w] = row_lerp(slab[w0 + w], A x + B (w0+w) + C)
     # written TRANSPOSED per (RC, 128) block, so pass 2 consumes it directly
     # (the old separate full-matrix transpose re-read pass-1's whole output
     # per channel — pure VMEM traffic, now deleted). Row-chunked: each block
     # re-anchors its banded scan, so the shear drift |B|*rows only spans one
-    # chunk (x_tiles_scan is sized for PASS1_CHUNK, not P).
+    # chunk (x_tiles_scan is sized for PASS1_CHUNK, not P). ``P`` is sized
+    # for the mode's worst-case envelope; chunks past THIS affine's actual
+    # source-row span (``rows_need``, the same corner bound pass 2's v obeys)
+    # are predicated off — their t1t content is never read.
     for xt in range(ww // 128):
         for r0 in range(0, P, PASS1_CHUNK):
             rc = min(PASS1_CHUNK, P - r0)
-            xg = (
-                lax.broadcasted_iota(jnp.int32, (rc, 128), 1)
-                .astype(jnp.float32)
-                + (x0 + xt * 128).astype(jnp.float32)
-            )
-            wg = (
-                lax.broadcasted_iota(jnp.int32, (rc, 128), 0)
-                .astype(jnp.float32)
-                + (w0f + r0)
-            )
-            u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
-            uf = jnp.floor(u)
-            fx = u - uf
-            u0i = uf.astype(jnp.int32)
-            u1i = jnp.minimum(u0i + 1, SWp - 1)
-            p0, p1 = _banded_tap_pair(
-                lambda base: rows_ref[r0 : r0 + rc, pl.ds(base, 128)],
-                u0i, u1i, x_tiles_scan, jnp.zeros((rc, 128), jnp.int32),
-                SWp // 128,
-            )
-            for ch, (v0, v1) in enumerate(zip(_unpack3(p0), _unpack3(p1))):
-                t1t_ref[
-                    ch, xt * 128 : (xt + 1) * 128, r0 : r0 + rc
-                ] = (v0 + (v1 - v0) * fx).T
+
+            @pl.when(jnp.float32(r0) < rows_need)
+            def _(xt=xt, r0=r0, rc=rc):
+                xg = (
+                    lax.broadcasted_iota(jnp.int32, (rc, 128), 1)
+                    .astype(jnp.float32)
+                    + (x0 + xt * 128).astype(jnp.float32)
+                )
+                wg = (
+                    lax.broadcasted_iota(jnp.int32, (rc, 128), 0)
+                    .astype(jnp.float32)
+                    + (w0f + r0)
+                )
+                u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
+                uf = jnp.floor(u)
+                fx = u - uf
+                u0i = uf.astype(jnp.int32)
+                u1i = jnp.minimum(u0i + 1, SWp - 1)
+                p0, p1 = _banded_tap_pair(
+                    lambda base: rows_ref[r0 : r0 + rc, pl.ds(base, 128)],
+                    u0i, u1i, x_tiles_scan, jnp.zeros((rc, 128), jnp.int32),
+                    SWp // 128,
+                )
+                for ch, (v0, v1) in enumerate(zip(_unpack3(p0), _unpack3(p1))):
+                    t1t_ref[
+                        ch, xt * 128 : (xt + 1) * 128, r0 : r0 + rc
+                    ] = (v0 + (v1 - v0) * fx).T
 
     # ---- pass 2 on the (already transposed) intermediate ----
     whp = _round_up(wh, 128)
@@ -442,33 +464,38 @@ def resample_rows_f32(
     Pp = t1t_ref.shape[1]
     XCHUNK = 128 if ww >= 128 else ww
     w0f = w0.astype(jnp.float32)
+    rows_need = _pass1_rows_needed(coeffs, w0f, x0, y0, wh, ww, P)
 
     for xt in range(ww // 128):
         for r0 in range(0, P, PASS1_CHUNK):
             rc = min(PASS1_CHUNK, P - r0)
-            xg = (
-                lax.broadcasted_iota(jnp.int32, (rc, 128), 1)
-                .astype(jnp.float32)
-                + (x0 + xt * 128).astype(jnp.float32)
-            )
-            wg = (
-                lax.broadcasted_iota(jnp.int32, (rc, 128), 0)
-                .astype(jnp.float32)
-                + (w0f + r0)
-            )
-            u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
-            uf = jnp.floor(u)
-            fx = u - uf
-            u0i = uf.astype(jnp.int32)
-            u1i = jnp.minimum(u0i + 1, SWp - 1)
-            p0, p1 = _banded_tap_pair(
-                lambda base: rows_ref[r0 : r0 + rc, pl.ds(base, 128)],
-                u0i, u1i, x_tiles_scan, jnp.zeros((rc, 128), jnp.float32),
-                SWp // 128,
-            )
-            t1t_ref[xt * 128 : (xt + 1) * 128, r0 : r0 + rc] = (
-                p0 + (p1 - p0) * fx
-            ).T
+
+            @pl.when(jnp.float32(r0) < rows_need)
+            def _(xt=xt, r0=r0, rc=rc):
+                xg = (
+                    lax.broadcasted_iota(jnp.int32, (rc, 128), 1)
+                    .astype(jnp.float32)
+                    + (x0 + xt * 128).astype(jnp.float32)
+                )
+                wg = (
+                    lax.broadcasted_iota(jnp.int32, (rc, 128), 0)
+                    .astype(jnp.float32)
+                    + (w0f + r0)
+                )
+                u = jnp.clip(A * xg + B * wg + C, 0.0, float(SWp - 1))
+                uf = jnp.floor(u)
+                fx = u - uf
+                u0i = uf.astype(jnp.int32)
+                u1i = jnp.minimum(u0i + 1, SWp - 1)
+                p0, p1 = _banded_tap_pair(
+                    lambda base: rows_ref[r0 : r0 + rc, pl.ds(base, 128)],
+                    u0i, u1i, x_tiles_scan,
+                    jnp.zeros((rc, 128), jnp.float32),
+                    SWp // 128,
+                )
+                t1t_ref[xt * 128 : (xt + 1) * 128, r0 : r0 + rc] = (
+                    p0 + (p1 - p0) * fx
+                ).T
 
     whp = _round_up(wh, 128)
     for yt in range(whp // 128):

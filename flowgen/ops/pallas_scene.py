@@ -333,14 +333,26 @@ def texture_split(spec, height: int, width: int):
     return None
 
 
+def _col_span(rot: float, inv_s: float, wwl: int, rows: int) -> int:
+    """Static bound on the pass-1 source-COLUMN span of one staged row block:
+    u = A x + B w + C varies by |A|*wwl + |B|*rows over the (rows, wwl)
+    window; +4 lerp/floor slack +129 for the 128-snap of the window start."""
+    a_max = inv_s / math.cos(rot)
+    b_max = math.tan(rot)
+    return _round_up(int(math.ceil(a_max * wwl + b_max * rows + 4)) + 129, 128)
+
+
 def resample_params(spec, height: int, width: int):
-    """Static (P_obj, P_bg, x_scan, y_scan, x_scan_bg, y_scan_bg, tsplit):
-    separate pass-1 row spans AND banded scan counts for the object motion
-    envelope and the (usually much tighter) background texture chain — the
-    background's row DMA, pass-1 compute, and per-block scan loops all
-    shrink to its own envelope (mode 7: 3/3 vs the objects' 4/4). The object
-    figures are for one (wh/tsplit, ww/tsplit) texture sub-window (see
-    :func:`texture_split`)."""
+    """Static (P_obj, P_bg, x_scan, y_scan, x_scan_bg, y_scan_bg, tsplit,
+    cw_obj, cw_bg): separate pass-1 row spans AND banded scan counts for the
+    object motion envelope and the (usually much tighter) background texture
+    chain — the background's row DMA, pass-1 compute, and per-block scan
+    loops all shrink to its own envelope (mode 7: 3/3 vs the objects' 4/4).
+    The object figures are for one (wh/tsplit, ww/tsplit) texture sub-window
+    (see :func:`texture_split`). ``cw_obj``/``cw_bg`` are the column-window
+    widths of the staged row blocks (the kernel DMAs only the 128-aligned
+    column range a window's pass-1 can touch, clamped to the slab width —
+    the background's full-row staging was the largest DMA term)."""
     wh, ww = min(WIN_H, height), min(WIN_W, width)
     rot_o, inv_o = mode_envelope(spec, height, width)
     # Quadrant factoring caps the residual rotation at 45 deg (see
@@ -358,7 +370,9 @@ def resample_params(spec, height: int, width: int):
     PBG = resamp.max_row_span(wh, ww, rot_b + 1e-6, inv_b)
     xs, ys = _scan_counts(rot_o, inv_o, P, ww // ts)
     xsb, ysb = _scan_counts(rot_b, inv_b, PBG, ww)
-    return P, PBG, xs, ys, xsb, ysb, ts
+    cwo = _col_span(rot_o, inv_o, ww // ts, P)
+    cwb = _col_span(rot_b, inv_b, ww, PBG)
+    return P, PBG, xs, ys, xsb, ysb, ts, cwo, cwb
 
 
 def _unpack3f(v):
@@ -380,8 +394,12 @@ def _pack3f(r, g, b):
 def _make_scene_kernel(
     H, W, K, C, E, EP, P, PBG, xscan, yscan, xscanb, yscanb, SHs, SWs, SHb,
     SWb, use_aa, inverse_flow, has_warp=False, emit_masks=False,
-    debug_level=3, tsplit=1,
+    debug_level=3, tsplit=1, CWO=None, CWB=None,
 ):
+    # Column-window widths of the staged slab row blocks (<= slab width;
+    # resample_params' envelope spans, min'd by the caller).
+    CWO = SWs if CWO is None else CWO
+    CWB = SWb if CWB is None else CWB
     wh, ww = min(WIN_H, H), min(WIN_W, W)
     # Frame-1 texture sub-windows (texture_split): whs x wws resamples, each
     # with its own in-kernel reflect fold; P is sized for ONE sub-window.
@@ -677,6 +695,29 @@ def _make_scene_kernel(
             B_ = m01 / m11
             return (m00 - B_ * m10, B_, m02 - B_ * m12, m10, m11, m12)
 
+        def col_window(coeffs, ox, w0, wwl, Pl, CW, SW):
+            """Column window of the staged row block: the 128-aligned start
+            of the source-column range pass 1 can touch over an (output cols
+            [ox, ox+wwl), staged rows [w0, w0+Pl)) window, clamped into a
+            width-``SW`` slab, plus the coefficients rebased to it (u is
+            shifted by -c0 through the C term). ``CW`` is the static span
+            bound (resample_params._col_span); CW == SW disables windowing."""
+            if CW >= SW:
+                return jnp.int32(0), coeffs
+            A, B, C_, c, d, f = coeffs
+            xf = jnp.asarray(ox).astype(jnp.float32)
+            wf = w0.astype(jnp.float32)
+            us = [
+                A * xx + B * wv + C_
+                for xx in (xf, xf + (wwl - 1))
+                for wv in (wf, wf + (Pl - 1))
+            ]
+            umin = jnp.minimum(jnp.minimum(us[0], us[1]),
+                               jnp.minimum(us[2], us[3]))
+            c0 = (jnp.floor(umin).astype(jnp.int32) - 1) & ~127
+            c0 = pl.multiple_of(jnp.clip(c0, 0, SW - CW), 128)
+            return c0, (A, B, C_ - c0.astype(jnp.float32), c, d, f)
+
         def sample_plane_affine(slot, ch, coeffs, y0, x0, xsc=None, ysc=None):
             """One (wh, ww) window of warp-aux plane ``ch`` sampled through an
             output->plane affine (two-pass split coeffs) — zero hardware
@@ -751,9 +792,10 @@ def _make_scene_kernel(
                     OMF(k, 1, OMF_RAW + 6), OMF(k, 1, OMF_RAW + 7),
                 )
             w0 = resamp.pass1_row_start(coeffs, ox, oy, whs, wws, P, SHs)
+            c0, coeffs = col_window(coeffs, ox, w0, wws, P, CWO, SWs)
             dma = pltpu.make_async_copy(
-                slabs_hbm.at[tid, pl.ds(w0, P), :],
-                rows_ref.at[:P, :SWs],
+                slabs_hbm.at[tid, pl.ds(w0, P), pl.ds(c0, CWO)],
+                rows_ref.at[:P, :CWO],
                 sem,
             )
             return dma, coeffs, w0, oy, ox
@@ -819,7 +861,7 @@ def _make_scene_kernel(
                                 rows_ref, w0, coeffs, ox, oy, whs, wws, P,
                                 t1t if tsplit == 1 else t1t.at[:, :wws],
                                 outt if tsplit == 1 else outt.at[:wws],
-                                xscan, yscan, sw=SWs,
+                                xscan, yscan, sw=CWO,
                             )
                             msub = m[
                                 sy * whs : sy * whs + whs,
@@ -922,16 +964,19 @@ def _make_scene_kernel(
                         w0 = resamp.pass1_row_start(
                             coeffs, ox, oy, wh, ww, P, SHs
                         )
+                        c0, coeffs = col_window(
+                            coeffs, ox, w0, ww, P, CWO, SWs
+                        )
                         tdma = pltpu.make_async_copy(
-                            slabs_hbm.at[tid, pl.ds(w0, P), :],
-                            rows_ref.at[:P, :SWs],
+                            slabs_hbm.at[tid, pl.ds(w0, P), pl.ds(c0, CWO)],
+                            rows_ref.at[:P, :CWO],
                             sem_t,
                         )
                         tdma.start()
                         tdma.wait()
                         tr, tg, tb = resamp.resample_rows_in_kernel(
                             rows_ref, w0, coeffs, ox, oy, wh, ww, P,
-                            t1t, outt, xscan, yscan, sw=SWs,
+                            t1t, outt, xscan, yscan, sw=CWO,
                         )
                         texE[0, ly : ly + wh, lx : lx + ww] = tr
                         texE[1, ly : ly + wh, lx : lx + ww] = tg
@@ -999,9 +1044,12 @@ def _make_scene_kernel(
             w0 = resamp.pass1_row_start(
                 coeffs, jnp.int32(ox), jnp.int32(oy), wh, ww, PBG, SHb
             )
+            c0, coeffs = col_window(
+                coeffs, jnp.int32(ox), w0, ww, PBG, CWB, SWb
+            )
             bdma = pltpu.make_async_copy(
-                bgslabs_hbm.at[btid, pl.ds(w0, PBG), :],
-                rows_ref.at[:PBG, :SWb],
+                bgslabs_hbm.at[btid, pl.ds(w0, PBG), pl.ds(c0, CWB)],
+                rows_ref.at[:PBG, :CWB],
                 sem,
             )
             return bdma, coeffs, w0
@@ -1023,7 +1071,7 @@ def _make_scene_kernel(
                 bdma.wait()
                 writer(*resamp.resample_rows_in_kernel(
                     rows_ref, w0, coeffs, jnp.int32(ox), jnp.int32(oy),
-                    wh, ww, PBG, t1t, outt, xscanb, yscanb, sw=SWb,
+                    wh, ww, PBG, t1t, outt, xscanb, yscanb, sw=CWB,
                 ))
 
         def acc_writer(acc_frame, y0s, x0s):
@@ -1279,13 +1327,14 @@ def scene_render_pallas(
     the 1 MB SMEM budget).
 
     ``spec_key``: hashable (P, PBG, xscan, yscan, xscanb, yscanb, tsplit,
-    H, W) static tuple from ``resample_params`` + frame dims (``P``/scans
-    are per texture sub-window, see :func:`texture_split`). Returns
-    (frames (B,2,H,W) i32, flow (B,2 or 4,H,W) f32).
+    cw_obj, cw_bg, H, W) static tuple from ``resample_params`` + frame dims
+    (``P``/scans are per texture sub-window, see :func:`texture_split`;
+    ``cw_*`` are the staged column-window widths, clamped to the slab
+    widths here). Returns (frames (B,2,H,W) i32, flow (B,2 or 4,H,W) f32).
     """
     from ..config import MAX_COMPONENTS, MAX_EDGES
 
-    P, PBG, xscan, yscan, xscanb, yscanb, tsplit, H, W = spec_key
+    P, PBG, xscan, yscan, xscanb, yscanb, tsplit, cwo, cwb, H, W = spec_key
     B, K = order.shape
     EP = edges.shape[-1]
     C = MAX_COMPONENTS
@@ -1303,10 +1352,12 @@ def scene_render_pallas(
     whEp = _round_up(whE, 128)
     Wp = _round_up(W, 128)
 
+    CWO = min(cwo, SWs)
+    CWB = min(cwb, SWb)
     kernel = _make_scene_kernel(
         H, W, K, C, E, EP, P, PBG, xscan, yscan, xscanb, yscanb, SHs, SWs,
         SHb, SWb, use_aa, inverse_flow, has_warp, emit_masks, debug_level,
-        tsplit,
+        tsplit, CWO, CWB,
     )
 
     # Flatten + pad the metadata to (B, mult-of-128) HBM rows.
@@ -1348,8 +1399,9 @@ def scene_render_pallas(
     bgm_f = flat(bgm.astype(jnp.float32), bg_w)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    # The rows buffer stages both object and background slab rows.
-    rows_w = max(SWs, SWb)
+    # The rows buffer stages object windows (frame 0: ww cols), object
+    # frame-1 row blocks (CWO cols), and background row blocks (CWB cols).
+    rows_w = max(ww, CWO, CWB)
     scratch = [
         pltpu.VMEM((H, W), jnp.int32),
         pltpu.VMEM((H, W), jnp.int32),

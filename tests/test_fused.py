@@ -254,6 +254,38 @@ def test_fused_texture_split():
     assert d1.max() <= 32.0
 
 
+def test_column_window_sizing():
+    """Static column-window spans of the staged slab row blocks
+    (resample_params cw_obj/cw_bg): the window must cover every source
+    column pass 1 can touch — |A|max*ww + |B|max*rows plus lerp and
+    128-snap slack — and at production size the background window must be
+    a real cut vs the full canonical slab row (the largest DMA term)."""
+    import math
+
+    from flowgen.ops.pallas_scene import (
+        bg_envelope, mode_envelope, resample_params,
+    )
+
+    for mode in (1, 7, 9, 11, 13):
+        spec = flowgen.DataGenConfig(mode=mode).mode_spec
+        P, PBG, _, _, _, _, tsp, cwo, cwb = resample_params(spec, 384, 512)
+        rot_o, inv_o = mode_envelope(spec, 384, 512)
+        rot_o = min(rot_o, math.pi / 4)
+        rot_b, inv_b = bg_envelope(spec)
+        need_o = (inv_o / math.cos(rot_o)) * (256 // tsp) \
+            + math.tan(rot_o) * P + 4 + 129
+        need_b = (inv_b / math.cos(rot_b)) * 256 + math.tan(rot_b) * PBG \
+            + 4 + 129
+        assert cwo % 128 == 0 and cwb % 128 == 0
+        assert cwo >= need_o and cwb >= need_b
+    # Production-size background cut: canonical 2Hx2W source slab is 1536
+    # wide; mode 7's background envelope needs far less per window.
+    spec7 = flowgen.DataGenConfig(mode=7).mode_spec
+    cwb7 = resample_params(spec7, 384, 512)[8]
+    SWb = ((2 * 512 + 2 * 256 + 127) // 128) * 128
+    assert cwb7 <= SWb // 2
+
+
 def test_eligibility_gates():
     spec7 = flowgen.DataGenConfig(mode=7).mode_spec
     spec9 = flowgen.DataGenConfig(mode=9).mode_spec

@@ -169,7 +169,8 @@ def main():
 
     if "kernel" in sections:
         inputs = jax.block_until_ready(prep_all(root, step, atlas))
-        P, PBG, xs, ys, xsb, ysb, tsp = ps.resample_params(cfg.mode_spec, H, W)
+        P, PBG, xs, ys, xsb, ysb, tsp, cwo, cwb = ps.resample_params(
+            cfg.mode_spec, H, W)
         for dl, label in (
             (0, "megakernel dl0 (DMA in/out only)"),
             (1, "megakernel dl1 (+bg resample+obj loop)"),
@@ -178,7 +179,8 @@ def main():
         ):
             k = jax.jit(
                 lambda *a, _dl=dl: ps.scene_render_pallas(
-                    *a, spec_key=(P, PBG, xs, ys, xsb, ysb, tsp, H, W), use_aa=True,
+                    *a, spec_key=(P, PBG, xs, ys, xsb, ysb, tsp, cwo, cwb,
+                                  H, W), use_aa=True,
                     inverse_flow=False, emit_masks=False, debug_level=_dl,
                 )
             )
