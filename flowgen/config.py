@@ -359,6 +359,24 @@ class DataGenConfig:
     # Pallas polygon-coverage kernel (edge-count-culled, fused). "auto" uses
     # it on TPU backends and the pure-XLA path on CPU; "always"/"never" force.
     use_pallas: str = "auto"
+    # Render implementation = the IMAGE content contract. The reference has
+    # exactly one frame-rendering implementation (DataGenerator.cpp:337-349,
+    # 762-818), so a given (seed, step, cfg) means one set of image bytes;
+    # mirroring that, "fused" (default) routes every backend through the
+    # scene megakernel (compose/fused.py; Pallas interpret mode off-TPU, the
+    # mode tests' configuration) — the same (seed, step, cfg) yields the same
+    # frames everywhere up to backend fma rounding at u8 .5 boundaries
+    # (PALLAS_CHECK mosaic-vs-interpret: 0 pixels >= 2 levels apart).
+    # "windowed" forces the bbox-culled XLA path (compose/render.py) — a
+    # debug/fallback renderer whose frames are NOT content-contractual (its
+    # quad-gather resampling chain differs sub-level almost everywhere,
+    # ~1e-3 px flow-identical); also taken automatically when the megakernel
+    # is ineligible (non-(8,128)-aligned frames, custom modes outside the
+    # two-pass envelope, full-frame windowed=False). "auto" is the pre-r5
+    # backend-keyed selection (fused on TPU, windowed on CPU): fastest CPU
+    # throughput, no cross-backend image contract. Flow is path-invariant
+    # (bit-exact) under every setting.
+    render_impl: str = "fused"
     # Warp-bank implementation = the mode-9 CONTENT contract. The bank IS
     # generated content (every deforming object samples it), so its
     # implementation must not follow the runtime backend or the same
@@ -372,6 +390,23 @@ class DataGenConfig:
     # content for a given seed. The reference has exactly one implementation
     # (WarpFields.cpp:337-437); this mirrors that with "pallas".
     warp_bank_impl: str = "pallas"
+    # Out-of-bounds warp-field semantics (nonrigid modes). The reference
+    # leaves signaling NaNs at warp-field pixels whose composed flow left the
+    # big field (WarpFields.cpp:389-398, 425-434), and those NaNs propagate
+    # into emitted flow through getPointFlow's bilinear sample (cpp:398-406).
+    # "zero" (default): flagged pixels sample as zero displacement, so
+    # training data stays finite (ROADMAP deviation #6). "nan": flagged
+    # pixels poison the emitted FORWARD flow like the reference's — consumers
+    # that mask their loss on invalid flow see NaN where the reference emits
+    # NaN (tests/test_warpfields.py pins the footprint against the oracle).
+    # Mask/texture warping through the INVERSE field samples zero displacement
+    # in both settings: the reference feeds those NaNs to CImg linear_atXY
+    # coordinates — an out-of-range read, not a contract. Note the stock crop
+    # tiling keeps >= W/4 margins from the big-field border
+    # (WarpFields.cpp:619-634) while composed displacements are sub-3 px, so
+    # stock banks carry no flags at all; the dial matters for user-supplied
+    # banks and custom field geometries.
+    warp_oob: str = "zero"
     # Runtime guard (fused path): per batch, count scene elements whose
     # ACTUAL frame-1 sampling affine exceeds the statically-sized resample
     # envelope — possible only if a custom mode's shapers escape their
@@ -398,8 +433,13 @@ class DataGenConfig:
             raise ValueError("channel_order must be 'rgb' or 'bgr'")
         if self.layout not in ("nhwc", "nchw"):
             raise ValueError("layout must be 'nhwc' or 'nchw'")
+        if self.render_impl not in ("fused", "windowed", "auto"):
+            raise ValueError("render_impl must be 'fused', 'windowed', or "
+                             "'auto'")
         if self.warp_bank_impl not in ("pallas", "xla"):
             raise ValueError("warp_bank_impl must be 'pallas' or 'xla'")
+        if self.warp_oob not in ("zero", "nan"):
+            raise ValueError("warp_oob must be 'zero' or 'nan'")
 
     @property
     def mode_spec(self) -> ModeSpec:

@@ -43,6 +43,13 @@ def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig,
     """Apply output-compatibility transforms. The reference emits float batches
     {B,3,H,W} in 0..255 BGR plus {B,2,H,W} flow (data_generation_layer.cpp:
     227-229; BGR swap at texture load, DataGenerator.cpp:129-131)."""
+    if cfg.warp_oob == "nan" and cfg.mode_spec.warp_p > 0.0:
+        # Decode the OOB sentinel (warpfields.generator.apply_oob_policy)
+        # back into the reference's signaling-NaN forward flow
+        # (WarpFields.cpp:389-398 via getPointFlow cpp:398-406).
+        from ..warpfields.generator import OOB_FLOW_THRESH
+
+        flow0 = jnp.where(jnp.abs(flow0) > OOB_FLOW_THRESH, jnp.nan, flow0)
     if cfg.channel_order == "bgr":
         images0 = images0[..., ::-1]
         images1 = images1[..., ::-1]
@@ -64,20 +71,33 @@ def _adapt_output(images0, images1, flow0, flow1, cfg: DataGenConfig,
 
 def use_fused_path(cfg: DataGenConfig) -> bool:
     """Whether this config renders through the scene megakernel
-    (compose/fused.py): Pallas enabled, windowed, and frame dims (8, 128)-
-    aligned. All 13 modes and output combinations are megakernel-eligible
-    (large rotations via quadrant-factored slabs, nonrigid deformation and
-    inverse flow in-kernel — see ops/pallas_scene.fused_eligible)."""
+    (compose/fused.py). ``cfg.render_impl`` is the dial (see config.py):
+    "fused" (default) selects the megakernel on every backend whenever the
+    config is eligible — all 13 modes and output combinations are, given
+    (8, 128)-aligned frame dims (large rotations via quadrant-factored
+    slabs, nonrigid deformation and inverse flow in-kernel — see
+    ops/pallas_scene.fused_eligible) — so image content is a pure function
+    of (seed, step, cfg), backend-independent, like the reference's single
+    renderer (DataGenerator.cpp:337-349). "windowed" forces the XLA
+    fallback; "auto" keys off the backend (legacy/no image contract)."""
     from ..compose.render import _pallas_enabled
     from ..ops.pallas_scene import fused_eligible
 
-    return (
-        cfg.windowed
-        and _pallas_enabled(cfg)
-        and fused_eligible(
-            cfg.mode_spec, cfg.height, cfg.width, cfg.compute_inverse_flow
-        )
+    if cfg.render_impl == "windowed" or cfg.use_pallas == "never":
+        return False
+    eligible = cfg.windowed and fused_eligible(
+        cfg.mode_spec, cfg.height, cfg.width, cfg.compute_inverse_flow
     )
+    if cfg.render_impl == "auto":
+        return eligible and _pallas_enabled(cfg)
+    return eligible
+
+
+def _fused_interpret() -> bool:
+    """Off-TPU, the megakernel runs in Pallas interpret mode (Mosaic only
+    lowers for TPU). Trace-time constant; cpu covers the virtual multi-device
+    test mesh too."""
+    return jax.default_backend() == "cpu"
 
 
 def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
@@ -145,6 +165,7 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
             warp_aux = warpgen.make_warp_aux(warp_bank)
         rendered = render_batch_fused(
             scenes, slabs[0], slabs[1], (atlas.shape[1], atlas.shape[2]), cfg,
+            interpret=_fused_interpret(),
             quad_atlas=atlas, warp_bank=warp_bank, warp_aux=warp_aux,
             tex_sizes=None if db is None else jnp.asarray(db.sizes),
         )

@@ -178,21 +178,24 @@ def warp_by_field(img, field, channels=True):
     return out if channels else out[..., 0]
 
 
-def _upscale2_field(field, out_h, out_w):
+def _upscale2_field(field, out_h, out_w, scrub=True):
     """The MODE-9 background field: the WxH crop resized x2 with magnitudes
     x2 (cpp:1194-1202). Sampling convention matches the TPU renderer's
     implicit form (value at big coord q = 2*field((q+0.5)/2 - 0.5)); CImg's
-    literal resize convention is within half a source texel of this."""
+    literal resize convention is within half a source texel of this.
+    ``scrub=False`` keeps flagged (NaN) pixels, which the resize then
+    propagates — warp_oob="nan" semantics."""
     yy, xx = np.mgrid[0:out_h, 0:out_w].astype(np.float64)
     return 2.0 * bilinear(
-        np.nan_to_num(field), (xx + 0.5) / 2.0 - 0.5, (yy + 0.5) / 2.0 - 0.5,
+        np.nan_to_num(field) if scrub else field,
+        (xx + 0.5) / 2.0 - 0.5, (yy + 0.5) / 2.0 - 0.5,
         wrap="clamp",
     )
 
 
 def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
                         warp_bank=None, obj_tex_np=None, return_ids=False,
-                        compute_inverse=False):
+                        compute_inverse=False, warp_oob="zero"):
     """Render one scene (numpy-converted Scene pytree, no batch dim) the
     reference way. Returns (image0, image1, flow0) float arrays; with
     ``compute_inverse`` also flow1 (the frame1->frame0 flow): ownership via
@@ -240,7 +243,8 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
     big1 = bilinear(big0, sx_c, sy_c, wrap="reflect")
     if bg_warp:
         slot = int(bg["warp_slot"])
-        bgf_big = _upscale2_field(warp_bank["flow"][slot], 2 * H, 2 * W)
+        bgf_big = _upscale2_field(warp_bank["flow"][slot], 2 * H, 2 * W,
+                                  scrub=(warp_oob != "nan"))
         bgi_big = _upscale2_field(warp_bank["iflow"][slot], 2 * H, 2 * W)
         # renderTransformedTexture then applyWarpFieldToTexture (cpp:341-346):
         # the affine-warped big texture is resampled through the inverse field.
@@ -281,7 +285,12 @@ def render_scene_oracle(scene_np, atlas_np, width, height, use_aa=True,
         k_warp = warp_bank is not None and bool(objs["warp"][k])
         if k_warp:
             slot = int(objs["warp_slot"][k])
-            wf = np.nan_to_num(warp_bank["flow"][slot]).astype(np.float64)
+            # warp_oob="nan": keep the reference's signaling NaNs in the
+            # forward field; the flow sample below then poisons exactly the
+            # pixels whose bilinear footprint touches a flagged field pixel.
+            wf = warp_bank["flow"][slot].astype(np.float64)
+            if warp_oob != "nan":
+                wf = np.nan_to_num(wf)
             wi = np.nan_to_num(warp_bank["iflow"][slot]).astype(np.float64)
         tid = int(objs["tex_id"][k]) % T
         if obj_tex_np is not None:

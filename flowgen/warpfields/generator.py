@@ -21,6 +21,31 @@ from ..random.streams import Stream, stream_key
 from . import fields
 
 
+# Finite stand-in for the reference's signaling NaNs (WarpFields.cpp:389-398)
+# inside the render kernels: under ``warp_oob="nan"`` flagged bank pixels
+# carry OOB_SENTINEL through the forward-flow channels, so any emitted-flow
+# pixel whose bilinear footprint touches one lands far beyond
+# OOB_FLOW_THRESH and is converted to NaN at output adaptation
+# (pipeline/generator._adapt_output). Kernels stay NaN-free (Mosaic f32
+# selects/min/max on NaN are not portable), and the sentinel survives every
+# linear resampling stage with weights down to ~1e-9 — far below the
+# smallest nonzero f32 bilinear weight of a representable coordinate.
+OOB_SENTINEL = 4.0e18
+OOB_FLOW_THRESH = 1.0e9
+
+
+def apply_oob_policy(bank: WarpBank, policy: str) -> WarpBank:
+    """Encode ``cfg.warp_oob`` into a crop bank: "zero" passes through (the
+    samplers scrub NaN to zero displacement); "nan" replaces flagged
+    forward-flow pixels with OOB_SENTINEL (see above). The inverse field is
+    left as-is in both — mask/texture warping always scrubs it."""
+    if policy == "nan":
+        return bank._replace(
+            flow=jnp.where(jnp.isnan(bank.flow), OOB_SENTINEL, bank.flow)
+        )
+    return bank
+
+
 def big_field_size(width: int, height: int) -> int:
     return 3 * max(width, height)  # WarpFields.cpp:556
 
@@ -91,7 +116,7 @@ def make_warp_bank(root, step, cfg: DataGenConfig,
         [jnp.stack([f[y : y + H, x : x + W] for (x, y) in origins])
          for f in iflows]
     )
-    return WarpBank(flow=flow, iflow=iflow)
+    return apply_oob_policy(WarpBank(flow=flow, iflow=iflow), cfg.warp_oob)
 
 
 def _gdisp_xla(D, n_iter: int = 4, coarse: int = 4):

@@ -116,8 +116,13 @@ def test_inverse_flow_output():
 @pytest.mark.parametrize("mode", [1, 7])
 def test_windowed_equals_fullframe(mode):
     # Bbox-windowed evaluation must be bit-identical to full-frame evaluation
-    # (the window provably contains every pixel the object can touch).
-    cfg = flowgen.DataGenConfig(mode=mode, batch_size=2, width=256, height=192)
+    # (the window provably contains every pixel the object can touch). This
+    # pins the WINDOWED renderer's culling optimization, so force it — under
+    # the default render_impl="fused", windowed=True would route to the
+    # megakernel (a different, non-comparable renderer) while windowed=False
+    # cannot.
+    cfg = flowgen.DataGenConfig(mode=mode, batch_size=2, width=256, height=192,
+                                render_impl="windowed")
     a = _gen(cfg, seed=4)
     b_cfg = dataclasses.replace(cfg, windowed=False)
     b = _gen(b_cfg, seed=4)

@@ -206,3 +206,72 @@ def test_half_lattice_composition_error_bounded():
     assert mag > 1.0
     assert np.median(err) < 0.03 * mag
     assert np.quantile(err, 0.99) < 0.15 * mag
+
+
+def test_warp_oob_nan_matches_oracle_flags():
+    """warp_oob="nan" (reference parity: signaling NaNs at flagged warp-field
+    pixels propagate into emitted flow, WarpFields.cpp:389-398 via
+    getPointFlow cpp:398-406): NaNs in the production output land exactly on
+    the pixels whose forward-field bilinear footprint the oracle flags.
+    Stock banks carry no flags (crop margins >= W/4 vs sub-3 px composed
+    displacement), so flags are injected into every slot."""
+    from flowgen.params.sampler import sample_scene
+    from flowgen.pipeline.generator import generate_batch
+    from flowgen.random.streams import sample_key
+    from flowgen.reference_check import oracle
+
+    root = root_key(11)  # scene with several deforming objects (test_oracle)
+    atlas_np = flowgen.procedural_atlas(3, height=H, width=W)
+    cfg_nan = flowgen.DataGenConfig(
+        mode=9, batch_size=1, width=W, height=H, warp_oob="nan"
+    )
+    bank = warpgen.make_warp_bank(root, jnp.int32(0), cfg_nan)
+    assert not np.isnan(np.asarray(bank.flow)).any()  # policy already encoded
+    # Rebuild a NaN-carrying bank: decode the sentinel back to NaN, then
+    # plant an interior flagged block in every slot.
+    flow_nan = np.asarray(
+        jnp.where(bank.flow >= warpgen.OOB_FLOW_THRESH, jnp.nan, bank.flow)
+    ).copy()
+    # Flag the whole interior (4-px margin): every emitted-flow pixel of a
+    # deforming object whose moved position stays in-frame then samples a
+    # flagged field pixel, regardless of where the scene's objects landed.
+    flow_nan[:, 4:-4, 4:-4, :] = np.nan
+    bank_nan = bank._replace(flow=jnp.asarray(flow_nan))
+
+    out = generate_batch(
+        root, jnp.int32(0), jnp.asarray(atlas_np, jnp.float32), cfg=cfg_nan,
+        warp_bank=warpgen.apply_oob_policy(bank_nan, "nan"),
+    )
+    flow = np.asarray(out["flow0"][0])
+
+    n_slots = warpgen.bank_size(cfg_nan)
+    scene = sample_scene(
+        sample_key(root, 0), cfg_nan.mode_spec, width=W, height=H,
+        n_warp_slots=n_slots,
+    )
+    assert np.asarray(scene.objects.warp & scene.objects.valid).sum() >= 2
+    _, _, o_flow = oracle.render_scene_oracle(
+        oracle.scene_to_numpy(scene), atlas_np, W, H,
+        warp_bank={"flow": flow_nan, "iflow": np.asarray(bank_nan.iflow)},
+        warp_oob="nan",
+    )
+
+    nan_prod = np.isnan(flow)
+    nan_orc = np.isnan(o_flow)
+    assert nan_orc.sum() > 100          # the planted flags were sampled
+    assert nan_prod.sum() > 100
+    # Footprints agree pixel-exactly up to f32-vs-f64 coordinate rounding at
+    # footprint boundaries (and zero-weight corners, where IEEE 0*NaN = NaN
+    # in the oracle but a zero-weight sentinel contributes nothing).
+    assert (nan_prod != nan_orc).sum() <= 16
+    both_ok = ~(nan_prod.any(-1) | nan_orc.any(-1))
+    d = np.abs(flow - o_flow).max(-1)[both_ok]
+    assert np.median(d) < 1e-3
+
+    # Default policy on the same flagged bank: scrubbed to zero, all finite.
+    out_zero = generate_batch(
+        root, jnp.int32(0), jnp.asarray(atlas_np, jnp.float32),
+        cfg=flowgen.DataGenConfig(mode=9, batch_size=1, width=W, height=H),
+        warp_bank=bank_nan,
+    )
+    assert np.isfinite(np.asarray(out_zero["flow0"])).all()
