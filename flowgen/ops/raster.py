@@ -185,6 +185,91 @@ def _sector_center_dir(ux, uy, steps: int):
     return nx, ny
 
 
+def _clamped_line_integral(m, c, a, b):
+    """``∫_a^b clamp(m*t + c, 0, 1) dt`` for ``b >= a`` (0 if ``b <= a``),
+    branch-free, every factor bounded — the same 3-piece form as
+    :func:`edge_cell_area`'s edge integral (p/q breakpoints keep the
+    clamped-linear pieces exact; see BENCHMARKS.md on why the closed-form
+    antiderivative was rejected)."""
+    inv_m = jnp.where(jnp.abs(m) > 1e-12, 1.0 / m, 0.0)
+    r0 = (0.0 - c) * inv_m
+    r1 = (1.0 - c) * inv_m
+    b = jnp.maximum(b, a)
+    p = jnp.clip(jnp.minimum(r0, r1), a, b)
+    q = jnp.clip(jnp.maximum(r0, r1), a, b)
+
+    def g(t):
+        return jnp.clip(m * t + c, 0.0, 1.0)
+
+    return g(a) * (p - a) + 0.5 * (g(p) + g(q)) * (q - p) + g(b) * (b - q)
+
+
+def _break_eta(ma, ca, mb, cb):
+    """Where the lower envelope switches from line a to line b (slopes sorted
+    descending ⇒ a is the min left of the crossing). Parallel guard: the
+    lower-intercept line is the min throughout, so the crossing moves off the
+    cell (±0.6 is outside the integration range [-1/2, 1/2])."""
+    dm = ma - mb
+    parallel = jnp.abs(dm) <= 1e-9
+    return jnp.where(
+        parallel,
+        jnp.where(ca <= cb, 0.6, -0.6),
+        (cb - ca) / jnp.where(parallel, 1.0, dm),
+    )
+
+
+def halfplanes3_cell_coverage(d1, nx1, ny1, d2, nx2, ny2, d3, nx3, ny3):
+    """Exact area of the unit pixel cell inside the INTERSECTION of three
+    half-planes ``{p : n_i . (p - center) <= -d_i}`` (``d_i`` = signed center
+    distance, positive outside; ``(nx_i, ny_i)`` unit outward normals, all
+    within ~45 deg of normal 1 — the gon-chord use has them 3.6 deg apart).
+
+    Closed form, branch-free: normalize so every boundary line is a graph
+    ``xi <= l_i(eta)`` over the cell's other axis (a transpose + sign flip
+    keyed on normal 1; both preserve area), sort the lines by slope so the
+    concave lower envelope activates them in order, split the cell's
+    eta-range at the envelope's (at most two) breakpoints, and integrate the
+    clamped envelope piecewise with :func:`_clamped_line_integral`. Reduces
+    exactly to :func:`halfplane_cell_coverage` when two of the half-planes
+    contain the whole cell."""
+    swap = jnp.abs(nx1) < jnp.abs(ny1)
+
+    def graph(nx, ny, d):
+        A = jnp.where(swap, ny, nx)
+        B = jnp.where(swap, nx, ny)
+        s = jnp.where(jnp.where(swap, ny1, nx1) >= 0.0, 1.0, -1.0)
+        invA = 1.0 / jnp.maximum(A * s, 1e-6)    # A >= cos(49deg) by constr.
+        return -B * s * invA, -d * invA          # inside: xi <= m*eta + c
+
+    m1, c1 = graph(nx1, ny1, d1)
+    m2, c2 = graph(nx2, ny2, d2)
+    m3, c3 = graph(nx3, ny3, d3)
+    # 3-element sort network on slope, descending.
+    def cswap(ma, ca, mb, cb):
+        p = ma < mb
+        return (jnp.where(p, mb, ma), jnp.where(p, cb, ca),
+                jnp.where(p, ma, mb), jnp.where(p, ca, cb))
+
+    m1, c1, m2, c2 = cswap(m1, c1, m2, c2)
+    m2, c2, m3, c3 = cswap(m2, c2, m3, c3)
+    m1, c1, m2, c2 = cswap(m1, c1, m2, c2)
+    # Envelope pieces in slope order 1 -> 2 -> 3; if the 1-2 crossing lands
+    # right of the 2-3 crossing, line 2 never reaches the envelope and the
+    # single switch is the 1-3 crossing.
+    t12 = _break_eta(m1, c1, m2, c2)
+    t23 = _break_eta(m2, c2, m3, c3)
+    t13 = _break_eta(m1, c1, m3, c3)
+    mid = t12 <= t23
+    ta = jnp.clip(jnp.where(mid, t12, t13), -0.5, 0.5)
+    tb = jnp.clip(jnp.where(mid, t23, t13), ta, 0.5)
+    # Interval length at eta: clamp(l(eta) + 1/2, 0, 1).
+    return (
+        _clamped_line_integral(m1, c1 + 0.5, -0.5, ta)
+        + _clamped_line_integral(m2, c2 + 0.5, ta, tb)
+        + _clamped_line_integral(m3, c3 + 0.5, tb, 0.5)
+    )
+
+
 def ellipse_chord_coverage(ux, uy, jxx, jxy, jyx, jyy, steps: int = 100):
     """Per-pixel coverage of the reference's inscribed ``steps``-gon of the
     unit circle, in normalized ellipse coordinates ``(ux, uy)`` whose
@@ -192,27 +277,43 @@ def ellipse_chord_coverage(ux, uy, jxx, jxy, jyx, jyy, steps: int = 100):
 
     AGG flattens every ellipse to a 100-step polygon and area-rasterizes it
     (agg::ellipse, MovingObjectEllipse::renderMasks, cpp:455-479, 1080). Per
-    pixel only the chord whose angular sector contains the pixel matters, so
-    instead of accumulating 100 edges we snap the pixel's parameter angle to
-    its chord and compute the EXACT cell area of that chord's half-plane in
-    screen space — identical to the 100-gon's area except at the ~1/3 of
-    edge pixels containing a gon vertex, where the single-chord
-    approximation is off by at most the 3.6-deg corner sliver (<~3% of a
-    cell, typically far less). Binary: half-plane at the cell center, AGG's
-    gamma_threshold(0.5) of the same coverage.
+    pixel only the chords whose sectors pass near its cell matter, so
+    instead of accumulating 100 edges we take the pixel's sector chord plus
+    BOTH neighboring chords and compute the EXACT cell area of the three
+    half-planes' intersection in screen space
+    (:func:`halfplanes3_cell_coverage`) — identical to the full 100-gon
+    rasterization wherever no 4th chord crosses the cell, i.e. whenever the
+    screen-space arc per sector exceeds the cell size (radius >= ~20 px;
+    exact two-vertex-in-cell handling down to ~11 px). The r4 single-chord
+    version missed vertex cells entirely (the <=3%-of-a-cell corner sliver,
+    then-ROADMAP deviation #2); the residual is now only the 4th-chord case
+    on the smallest shrunk composite parts (r ~5 px: <= ~1e-2 of a cell,
+    measured in tests/test_raster.py). Sub-pixel needles take the literal
+    flattened-gon polygon path (params/sampler.py). Away from vertices both
+    neighbor half-planes contain the whole cell and the result reduces to
+    the single-chord area. Binary: area >= 0.5, AGG's gamma_threshold(0.5)
+    of the same coverage.
 
     Returns (aa, inside)."""
     nx_u, ny_u = _sector_center_dir(ux, uy, steps)
+    cosd = math.cos(2.0 * math.pi / steps)
+    sind = math.sin(2.0 * math.pi / steps)
     coshalf = math.cos(math.pi / steps)
-    # Chord line in normalized coords: n . u = cos(delta/2); its screen-space
-    # gradient is J^T n.
-    a = nx_u * jxx + ny_u * jyx
-    b = nx_u * jxy + ny_u * jyy
-    norm = jnp.maximum(jnp.sqrt(a * a + b * b), 1e-9)
-    l = nx_u * ux + ny_u * uy - coshalf
-    d = l / norm
-    aa = halfplane_cell_coverage(d, a / norm, b / norm)
-    return aa, l <= 0.0
+
+    def chord(nx, ny):
+        # Chord line in normalized coords: n . u = cos(delta/2); its
+        # screen-space gradient is J^T n.
+        a = nx * jxx + ny * jyx
+        b = nx * jxy + ny * jyy
+        norm = jnp.maximum(jnp.sqrt(a * a + b * b), 1e-9)
+        l = nx * ux + ny * uy - coshalf
+        return l / norm, a / norm, b / norm
+
+    d1, a1, b1 = chord(nx_u, ny_u)
+    d2, a2, b2 = chord(nx_u * cosd - ny_u * sind, ny_u * cosd + nx_u * sind)
+    d3, a3, b3 = chord(nx_u * cosd + ny_u * sind, ny_u * cosd - nx_u * sind)
+    aa = halfplanes3_cell_coverage(d1, a1, b1, d2, a2, b2, d3, a3, b3)
+    return aa, aa >= 0.5
 
 
 def ellipse_coverage(transform, rx, ry, px, py):
