@@ -118,40 +118,48 @@ def _area_accumulate_blocked(edges_ref, base, n_edges, oy, ox, area_ref,
         # objects stop re-integrating their off-tile edges.
         x_live = jnp.maximum(ax, bx) >= oxf
 
-        def blk(rb, _):
-            r8 = pl.multiple_of(rb * 8, 8)
-            # Row-only quantities on (8, 1): ta/tb (the slab-clipped edge
-            # parameter range) and the chord x at them depend only on the
-            # row, so computing them narrow and broadcasting saves ~1/4 of
-            # the wide VPU ops — values are bit-identical (same inputs per
-            # row, broadcast only replicates).
-            ylo = (
-                lax.broadcasted_iota(jnp.int32, (8, 1), 0) + r8
-            ).astype(jnp.float32) + oyf
-            r0 = (ylo - ay) * inv_dy
-            r1 = (ylo + 1.0 - ay) * inv_dy
-            ta = jnp.clip(jnp.minimum(r0, r1), 0.0, 1.0)
-            tb = jnp.clip(jnp.maximum(r0, r1), 0.0, 1.0)
-            xta = ax + ta * dx
-            xtb = ax + tb * dx
-            s0 = (xlo - ax) * inv_dx
-            s1 = (xlo + 1.0 - ax) * inv_dx
-            p = jnp.clip(jnp.minimum(s0, s1), ta, tb)
-            q = jnp.clip(jnp.maximum(s0, s1), ta, tb)
-            ga = jnp.clip(xta - xlo, 0.0, 1.0)
-            gp = jnp.clip(ax + p * dx - xlo, 0.0, 1.0)
-            gq = jnp.clip(ax + q * dx - xlo, 0.0, 1.0)
-            gb = jnp.clip(xtb - xlo, 0.0, 1.0)
-            integral = (
-                ga * (p - ta) + 0.5 * (gp + gq) * (q - p) + gb * (tb - q)
-            )
-            area_ref[pl.ds(r8, 8), :] = (
-                area_ref[pl.ds(r8, 8), :] + dy * integral
-            )
-            return 0
-
         @pl.when(x_live)
         def _():
+            # Column-only quantities, hoisted out of the row-block loop (the
+            # x-face crossing parameters depend on the column alone): saves 6
+            # wide VPU ops per block iteration beyond the first,
+            # bit-identical. Inside the x_live branch so culled edges skip
+            # them too.
+            s0 = (xlo - ax) * inv_dx
+            s1 = (xlo + 1.0 - ax) * inv_dx
+            smin = jnp.minimum(s0, s1)
+            smax = jnp.maximum(s0, s1)
+
+            def blk(rb, _):
+                r8 = pl.multiple_of(rb * 8, 8)
+                # Row-only quantities on (8, 1): ta/tb (the slab-clipped edge
+                # parameter range) and the chord x at them depend only on the
+                # row, so computing them narrow and broadcasting saves ~1/4 of
+                # the wide VPU ops — values are bit-identical (same inputs per
+                # row, broadcast only replicates).
+                ylo = (
+                    lax.broadcasted_iota(jnp.int32, (8, 1), 0) + r8
+                ).astype(jnp.float32) + oyf
+                r0 = (ylo - ay) * inv_dy
+                r1 = (ylo + 1.0 - ay) * inv_dy
+                ta = jnp.clip(jnp.minimum(r0, r1), 0.0, 1.0)
+                tb = jnp.clip(jnp.maximum(r0, r1), 0.0, 1.0)
+                xta = ax + ta * dx
+                xtb = ax + tb * dx
+                p = jnp.clip(smin, ta, tb)
+                q = jnp.clip(smax, ta, tb)
+                ga = jnp.clip(xta - xlo, 0.0, 1.0)
+                gp = jnp.clip(ax + p * dx - xlo, 0.0, 1.0)
+                gq = jnp.clip(ax + q * dx - xlo, 0.0, 1.0)
+                gb = jnp.clip(xtb - xlo, 0.0, 1.0)
+                integral = (
+                    ga * (p - ta) + 0.5 * (gp + gq) * (q - p) + gb * (tb - q)
+                )
+                area_ref[pl.ds(r8, 8), :] = (
+                    area_ref[pl.ds(r8, 8), :] + dy * integral
+                )
+                return 0
+
             lax.fori_loop(rb0, jnp.minimum(rb1, nb), blk, 0)
 
         return 0

@@ -303,10 +303,26 @@ def test_eligibility_gates():
 
 
 def test_generate_batch_dispatch():
-    """use_fused_path is off on CPU (auto) and for ineligible modes."""
+    """render_impl dial: "fused" (default) selects the megakernel on EVERY
+    backend (the image-content contract), "windowed" forces the XLA
+    fallback, "auto" restores the legacy backend-keyed routing (off on
+    CPU)."""
     from flowgen.pipeline.generator import use_fused_path
 
-    assert not use_fused_path(flowgen.DataGenConfig(mode=7))  # cpu backend
+    assert use_fused_path(flowgen.DataGenConfig(mode=7))  # fused everywhere
+    assert not use_fused_path(
+        flowgen.DataGenConfig(mode=7, render_impl="windowed")
+    )
+    assert not use_fused_path(
+        flowgen.DataGenConfig(mode=7, render_impl="auto")  # cpu backend
+    )
+    assert not use_fused_path(
+        flowgen.DataGenConfig(mode=7, use_pallas="never")
+    )
+    # Ineligible frame dims fall back regardless of the dial.
+    assert not use_fused_path(
+        flowgen.DataGenConfig(mode=7, width=500, height=384)
+    )
     cfg = flowgen.DataGenConfig(mode=7, use_pallas="always")
     assert use_fused_path(cfg)
     assert use_fused_path(flowgen.DataGenConfig(mode=9, use_pallas="always"))

@@ -5,19 +5,25 @@ Two comparisons per mode, from the same concrete inputs:
 
 1. **Mosaic vs interpreter** — ``render_batch_fused`` compiled on the TPU
    against the SAME kernel run in Pallas interpreter mode on the host CPU,
-   with bit-identical operands (scenes/slabs/aux staged once on CPU). This is
-   the lowering check: any Mosaic compilation bug shows up as a mismatch.
-   Flow must agree to f32 noise; frames are integer-rounded so they agree
-   exactly except where backend f32 differences straddle a .5 boundary.
+   with bit-identical operands (scenes/slabs/aux staged once on CPU). This
+   is BOTH the lowering check (any Mosaic compilation bug shows up as a
+   mismatch) AND, since r5's ``render_impl="fused"`` default routes every
+   backend through this kernel, the IMAGE content contract: the same
+   (seed, step, cfg) must yield the same frames on every backend. Flow must
+   agree to f32 noise; frames are integer-rounded so they agree exactly
+   except where backend fma/div rounding straddles a u8 .5 boundary — the
+   gate requires ZERO pixels >= 2 levels apart and < 1% >= 1 level.
 
-2. **Fused vs windowed (both on TPU)** — path equivalence, statistical. The
-   two paths resample through different (both documented, both
-   reflect-exact) chains: point-wise quad gathers vs the banded two-pass
-   over true-reflect slabs, and the fused path rounds frames; images
-   therefore differ sub-level almost everywhere and the comparison bounds
-   the distribution, not the max. Flow uses identical coverage math and
-   must match exactly for rigid modes (median + outliers for mode 9's two
-   displacement-warp formulations).
+2. **Fused vs windowed (both on TPU)** — consistency check on the DEBUG
+   fallback renderer (``render_impl="windowed"``, non-contractual for image
+   bytes since r5). The two paths resample through different (both
+   documented, both reflect-exact) chains: point-wise quad gathers vs the
+   banded two-pass over true-reflect slabs, and the fused path rounds
+   frames; images therefore differ sub-level almost everywhere and the
+   comparison bounds the distribution, not the max. Flow uses identical
+   coverage math and must match exactly for rigid modes (median + outliers
+   for mode 9's two displacement-warp formulations) — flow IS contractual
+   on both paths.
 
 A third check, selected with the pseudo-mode ``bank``, certifies the mode-9
 CONTENT contract (cfg.warp_bank_impl="pallas" on every backend): the banded
