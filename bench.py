@@ -145,8 +145,49 @@ def _bench_texdb(batch):
     return _bench_mode(7, batch, 8, db, pipelined=True)
 
 
+def _bench_train(batch, atlas_np, n_steps=100):
+    # Sustained generate+train: on-device mode-7 generation fused with one
+    # FlowNetS update per step (train/flownet.make_generate_and_train_step)
+    # for >= n_steps steps — the north star's "feeding a FlowNet-style
+    # trainer" clause measured as samples/s absorbed. The params/opt-state
+    # dependency chains consecutive steps on-device, so a plain loop with
+    # one final readback measures the true fused rate (no dispatch queue
+    # depth cap needed: each step's output is ~40 MB of params, reused).
+    import jax
+    import jax.numpy as jnp
+
+    import flowgen
+    from flowgen.random.streams import root_key
+    from flowgen.train import flownet
+
+    cfg = flowgen.DataGenConfig(mode=7, batch_size=batch, seed=0)
+    atlas = jnp.asarray(atlas_np, jnp.float32)
+    model = flownet.create_model()
+    params = flownet.init_params(model, jax.random.PRNGKey(0), cfg.height,
+                                 cfg.width)
+    tx = flownet.make_optimizer()
+    opt_state = tx.init(params)
+    fused = jax.jit(flownet.make_generate_and_train_step(cfg, model, tx))
+    root = root_key(0)
+    params, opt_state, loss = fused(root, jnp.int32(0), atlas, params,
+                                    opt_state)
+    float(loss)  # warmup/compile; forced readback (tunneled backend)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, opt_state, loss = fused(root, jnp.int32(1 + i), atlas,
+                                        params, opt_state)
+    final_loss = float(loss)
+    dt = time.perf_counter() - t0
+    return n_steps * batch / dt, final_loss
+
+
 def main():
     import flowgen
+    from flowgen.utils.profiling import enable_compile_cache
+
+    # Env vars cannot enable the cache here (the axon sitecustomize imports
+    # jax before bench.py runs, freezing the config) — set it explicitly.
+    enable_compile_cache()
 
     argc = len(sys.argv)
     # Default batch 64 = BASELINE.md milestone config 5 ("64-pair batches
@@ -191,6 +232,25 @@ def main():
                     "spread": round(spread, 3),
                     "batch": batch,
                     "steps": 8,
+                }
+            )
+        )
+        return
+
+    if argc > 1 and sys.argv[1] == "train":
+        n_steps = int(sys.argv[3]) if argc > 3 else 100
+        rate, loss = _bench_train(batch, atlas_np, n_steps)
+        print(
+            json.dumps(
+                {
+                    "metric": "fused generate+FlowNetS-train (mode 7, "
+                              f"{n_steps} sustained on-device steps)",
+                    "value": round(rate, 2),
+                    "unit": "samples/sec/chip absorbed",
+                    "vs_baseline": round(rate / BASELINE_PER_CHIP, 4),
+                    "final_loss": round(loss, 4),
+                    "batch": batch,
+                    "steps": n_steps,
                 }
             )
         )

@@ -16,6 +16,28 @@ import jax
 import jax.numpy as jnp
 
 
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent compilation cache the way that actually
+    works here: ``jax.config.update``. The usual env-var route
+    (``JAX_COMPILATION_CACHE_DIR``) is DEAD in this environment — the axon
+    sitecustomize imports jax at interpreter start, before any entry-point
+    code can set the variable, so the config option is frozen at None and
+    every process pays full cold compiles (multi-minute per program through
+    the tunneled backend). Call this from every entry point before the
+    first jit dispatch. Idempotent; safe after backend init."""
+    import os
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        path or os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # Executables whose compile the backend reports as instantaneous (the
+    # tunneled client can't see server-side compile time) still cache.
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def force_sync(tree) -> float:
     """Force completion of a computation by reading one scalar back to host.
 

@@ -41,6 +41,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# The env var alone is DEAD here (axon sitecustomize imports jax first);
+# flowgen.utils.profiling.enable_compile_cache() is called in main().
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import numpy as np
@@ -163,6 +165,10 @@ def _check_bank(tpu, cpu):
 def main():
     import jax
     import jax.numpy as jnp
+
+    from flowgen.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
 
     import flowgen
     from flowgen.ops.pallas_scene import (

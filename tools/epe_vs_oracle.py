@@ -40,6 +40,9 @@ FLIP_THRESH = 0.1  # px; ownership flips are whole-pixel, noise is ~1e-5
 
 def main():
     jax.config.update("jax_platforms", "cpu")
+    from flowgen.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -16,6 +16,8 @@ import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# The env var alone is DEAD here (axon sitecustomize imports jax first);
+# flowgen.utils.profiling.enable_compile_cache() below does the real work.
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -23,6 +25,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from flowgen.utils.profiling import enable_compile_cache
+
+enable_compile_cache()
 
 BATCH = 32
 STEPS = 12
