@@ -61,10 +61,12 @@ def _area_accumulate(edges_ref, base, n_edges, px, py, area_ref):
         q = jnp.clip(jnp.maximum(s0, s1), ta, tb)
         # g(t) = clamp(x(t) - xlo, 0, 1): constant outside [p, q], linear in.
         ga = jnp.clip(ax + ta * dx - xlo, 0.0, 1.0)
-        gp = jnp.clip(ax + p * dx - xlo, 0.0, 1.0)
-        gq = jnp.clip(ax + q * dx - xlo, 0.0, 1.0)
         gb = jnp.clip(ax + tb * dx - xlo, 0.0, 1.0)
-        integral = ga * (p - ta) + 0.5 * (gp + gq) * (q - p) + gb * (tb - q)
+        # Middle piece via the unclamped midpoint ordinate (exact between
+        # the face crossings; vanishes with q == p in every degenerate
+        # |dx| ~ 0 case) — raster.edge_cell_area's form.
+        mid = (ax - xlo) + (p + q) * (0.5 * dx)
+        integral = ga * (p - ta) + mid * (q - p) + gb * (tb - q)
         area_ref[:] = area_ref[:] + dy * integral
         return 0
 
@@ -129,6 +131,8 @@ def _area_accumulate_blocked(edges_ref, base, n_edges, oy, ox, area_ref,
             s1 = (xlo + 1.0 - ax) * inv_dx
             smin = jnp.minimum(s0, s1)
             smax = jnp.maximum(s0, s1)
+            hmid = ax - xlo
+            hdx = 0.5 * dx
 
             def blk(rb, _):
                 r8 = pl.multiple_of(rb * 8, 8)
@@ -149,12 +153,13 @@ def _area_accumulate_blocked(edges_ref, base, n_edges, oy, ox, area_ref,
                 p = jnp.clip(smin, ta, tb)
                 q = jnp.clip(smax, ta, tb)
                 ga = jnp.clip(xta - xlo, 0.0, 1.0)
-                gp = jnp.clip(ax + p * dx - xlo, 0.0, 1.0)
-                gq = jnp.clip(ax + q * dx - xlo, 0.0, 1.0)
                 gb = jnp.clip(xtb - xlo, 0.0, 1.0)
-                integral = (
-                    ga * (p - ta) + 0.5 * (gp + gq) * (q - p) + gb * (tb - q)
-                )
+                # Middle piece via the unclamped midpoint ordinate (exact
+                # between the face crossings; vanishes with q == p in every
+                # degenerate |dx| ~ 0 case): two fewer clamped chord
+                # evaluations per block — ~25% of the in-block wide VPU ops.
+                mid = hmid + (p + q) * hdx
+                integral = ga * (p - ta) + mid * (q - p) + gb * (tb - q)
                 area_ref[pl.ds(r8, 8), :] = (
                     area_ref[pl.ds(r8, 8), :] + dy * integral
                 )

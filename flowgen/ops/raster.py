@@ -96,11 +96,13 @@ def edge_cell_area(ax, ay, bx, by, px, py):
     def g(t):
         return jnp.clip(ax + t * dx - xlo, 0.0, 1.0)
 
-    integral = (
-        g(ta) * (p - ta)
-        + 0.5 * (g(p) + g(q)) * (q - p)
-        + g(tb) * (tb - q)
-    )
+    # Trapezoid of the middle piece via its UNCLAMPED midpoint ordinate:
+    # between the face crossings x(t) ∈ [xlo, xlo+1], so no clamp is needed
+    # there, and when the interval is empty (q == p — including every
+    # |dx| ~ 0 edge, whose inv_dx guard collapses p and q) the term vanishes
+    # regardless of the midpoint value. Saves the two clamped evaluations.
+    mid = (ax - xlo) + (p + q) * (0.5 * dx)
+    integral = g(ta) * (p - ta) + mid * (q - p) + g(tb) * (tb - q)
     return dy * integral
 
 
@@ -201,7 +203,11 @@ def _clamped_line_integral(m, c, a, b):
     def g(t):
         return jnp.clip(m * t + c, 0.0, 1.0)
 
-    return g(a) * (p - a) + 0.5 * (g(p) + g(q)) * (q - p) + g(b) * (b - q)
+    # Middle piece via the unclamped midpoint ordinate (exact between the
+    # 0/1 crossings; vanishes with q == p in every degenerate-slope case) —
+    # see edge_cell_area.
+    mid = c + (p + q) * (0.5 * m)
+    return g(a) * (p - a) + mid * (q - p) + g(b) * (b - q)
 
 
 def _break_eta(ma, ca, mb, cb):

@@ -128,10 +128,18 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
         atlas = prepare_atlas(atlas)
     atlas = jax.lax.optimization_barrier(atlas)
     n_slots = 1
+    inline_aux = None
     if cfg.mode_spec.warp_p > 0.0:
         n_slots = warpgen.bank_size(cfg)
         if warp_bank is None:
-            warp_bank = warpgen.make_warp_bank(root, step, cfg)
+            if use_fused_path(cfg):
+                # Shared-big-field producer: same content as the hot path's
+                # epoch cache (one solve per big field, not per crop).
+                warp_bank, inline_aux = warpgen.make_bank_and_aux(
+                    root, step, cfg
+                )
+            else:
+                warp_bank = warpgen.make_warp_bank(root, step, cfg)
     else:
         warp_bank = None
     scenes = sample_scene_batch(root, indices, cfg, n_warp_slots=n_slots)
@@ -161,8 +169,11 @@ def generate_batch(root, step, atlas, cfg: DataGenConfig, base_index=None,
                 )
         slabs = jax.lax.optimization_barrier(slabs)
         if warp_bank is not None and warp_aux is None:
-            # Derived inline (hot-path callers cache it per bank epoch).
-            warp_aux = warpgen.make_warp_aux(warp_bank)
+            # Derived inline (hot-path callers cache it per bank epoch). A
+            # caller-provided bank without aux takes the per-crop fallback
+            # solve (no big fields to share).
+            warp_aux = (inline_aux if inline_aux is not None
+                        else warpgen.make_warp_aux(warp_bank))
         rendered = render_batch_fused(
             scenes, slabs[0], slabs[1], (atlas.shape[1], atlas.shape[2]), cfg,
             interpret=_fused_interpret(),
@@ -284,13 +295,19 @@ class BankEpochCache:
     only wastes the prediction; results stay exact. Shared by the unsharded
     (:func:`make_generate_fn`) and sharded (pipeline/sharding.py) paths."""
 
-    def __init__(self, bank_fn, aux_fn, reuse: int):
+    def __init__(self, bank_fn, aux_fn, reuse: int, build_fn=None):
         self._bank_fn = bank_fn
         self._aux_fn = aux_fn
+        self._build_fn = build_fn  # combined (bank, aux) producer, preferred
         self._reuse = max(reuse, 1)
         self._c = {}
 
     def _build(self, root, step: int):
+        if self._build_fn is not None:
+            # Shared-big-field producer (warpgen.make_bank_and_aux): one
+            # dispatch, and the aux column inverses solve once per big field
+            # instead of per crop.
+            return self._build_fn(root, jnp.int32(step))
         bank = self._bank_fn(root, jnp.int32(step))
         aux = self._aux_fn(bank) if self._aux_fn is not None else None
         return bank, aux
@@ -344,8 +361,12 @@ def make_generate_fn(cfg: DataGenConfig, mesh=None):
 
     bank_cache = BankEpochCache(
         jax.jit(functools.partial(warpgen.make_warp_bank, cfg=cfg)),
-        jax.jit(warpgen.make_warp_aux) if use_fused_path(cfg) else None,
+        None,
         cfg.warp_bank_reuse_steps,
+        build_fn=(
+            jax.jit(functools.partial(warpgen.make_bank_and_aux, cfg=cfg))
+            if use_fused_path(cfg) else None
+        ),
     )
 
     def fn(root, step, atlas):

@@ -104,12 +104,16 @@ def make_sharded_generate_fn(cfg: DataGenConfig, mesh: Mesh, axis: str = "data")
         out_shardings=NamedSharding(mesh, P()),
     )
     fused = use_fused_path(_dc.replace(cfg, batch_size=local_cfg.batch_size))
-    aux_fn = (
-        jax.jit(warpgen.make_warp_aux, out_shardings=NamedSharding(mesh, P()))
+    build_fn = (
+        jax.jit(
+            functools.partial(warpgen.make_bank_and_aux, cfg=cfg),
+            out_shardings=NamedSharding(mesh, P()),
+        )
         if fused
         else None
     )
-    bank_cache = BankEpochCache(bank_fn, aux_fn, cfg.warp_bank_reuse_steps)
+    bank_cache = BankEpochCache(bank_fn, None, cfg.warp_bank_reuse_steps,
+                                build_fn=build_fn)
 
     def fn(root, step, atlas):
         bank, aux = bank_cache.get(root, int(step))

@@ -268,17 +268,20 @@ def _upsample2(field):
     return out.reshape(2 * h, 2 * w, field.shape[-1])
 
 
-def make_big_field(key, size: int, coarse_iters: int = 13):
+def make_big_field(key, size: int, coarse_iters: int = 16):
     """One composed (flow, iflow) pair at ``size x size`` — the body of the
     reference CropGenerator worker (cpp:558-615).
 
     The first ``coarse_iters`` doubling iterations run on a half-resolution
-    lattice: until then the field is both tiny (|f| <= ~2.5 px after 13
-    doublings of the ~3e-4 px elementary magnitudes) and sigma~50 px smooth,
-    so a 2 px lattice represents it to well below the field's own bilinear
+    lattice: the composed fields stay sigma~50 px smooth throughout (|f| <=
+    ~20 px after 16 doublings of the ~3e-4 px elementary magnitudes), so a
+    2 px lattice represents them to well below the field's own bilinear
     composition error; displacement values scale covariantly (v/2 in half-px
-    units), and the final iterations + OOB flagging run at full resolution.
-    This cuts the composition's gather volume ~2.4x."""
+    units), and the final iteration + OOB flagging run at full resolution.
+    Measured against the all-full-resolution composition the deviation is
+    p99 < 0.05% of the field magnitude with flag boundaries moving on 0.05%
+    of pixels (tests/test_warpfields.py pins the bound); cuts the
+    composition's full-lattice volume ~2.6x."""
     grid = sample_displacer_grid(key, size)
     half = size // 2
 

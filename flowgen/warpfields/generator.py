@@ -83,9 +83,15 @@ def make_warp_bank(root, step, cfg: DataGenConfig,
     a config dial, NEVER a backend autodetect (the reference has one
     implementation, WarpFields.cpp:337-437, and so does a given config
     here)."""
+    flows, iflows = _big_fields(root, step, cfg, impl)
+    return _crop_bank(flows, iflows, cfg)
+
+
+def _big_fields(root, step, cfg: DataGenConfig, impl: str | None = None):
+    """The epoch's ``warp_fields_per_batch`` composed big fields, each with
+    its inverse: (flows, iflows), (F, big, big, 2) with NaN-flagged OOB."""
     W, H = cfg.width, cfg.height
     big = big_field_size(W, H)
-    origins = crop_origins(W, H)
     if impl is None:
         impl = cfg.warp_bank_impl
 
@@ -107,7 +113,12 @@ def make_warp_bank(root, step, cfg: DataGenConfig,
         pairs = [fields.make_big_field(k, big) for k in keys]
         flows = jnp.stack([p[0] for p in pairs])
         iflows = jnp.stack([p[1] for p in pairs])
+    return flows, iflows
 
+
+def _crop_bank(flows, iflows, cfg: DataGenConfig) -> WarpBank:
+    W, H = cfg.width, cfg.height
+    origins = crop_origins(W, H)
     flow = jnp.concatenate(
         [jnp.stack([f[y : y + H, x : x + W] for (x, y) in origins])
          for f in flows]
@@ -247,3 +258,89 @@ def make_warp_aux(bank: WarpBank, n_iter: int | None = None,
     gd_bg = solve(D_bg)                             # (N, H+2*BG_EY, W)
     bg_aux = jnp.stack([gd_bg, D_bg[..., 1]], axis=1)
     return obj_aux, bg_aux
+
+
+def make_bank_and_aux(root, step, cfg: DataGenConfig,
+                      impl: str | None = None, n_iter: int | None = None,
+                      coarse: int = 4):
+    """Bank + megakernel aux from SHARED big fields — the hot-path producer.
+
+    :func:`make_warp_aux` solves the separable-warp column inverse per crop
+    (bank_size solves at crop size, plus as many again for the x2-upscaled
+    background fields). But every crop is a restriction of one of the
+    ``warp_fields_per_batch`` big fields, and the column inverse COMMUTES
+    with both restriction and the background's x2 zoom:
+
+    * restriction: a crop's column is a sub-segment of the big field's
+      column, so ``gdisp_crop(x, w) = gdisp_big(cx + x, cy + w)`` — and the
+      big solve is the better extension where the displaced row y* leaves
+      the crop (the per-crop solve clamped at the crop edge);
+    * zoom: for ``D2(p) = 2 D(z(p))`` with ``z`` the half-scale lattice map
+      (cpp:1194-1202), the fixed point ``w = y + D2_y(x, y)`` maps exactly
+      to the half-coordinate one, so ``gdisp2(x, w) = 2 gdisp_big(z(x),
+      z(w))`` — the x2-zoomed background field's corrected pass-1
+      displacement is just the x2 upsample (the same quarter-offset
+      slice-lerp lattice as :func:`bg_upscale`) of the big field's.
+
+    So ONE coarse solve per big field (F at (big/coarse)^2) replaces
+    2*bank_size crop-sized solves (~7x less solve work at 512x384), and the
+    crop-edge clamping artifact disappears. The solve implementation follows
+    ``impl`` (default ``cfg.warp_bank_impl``) like the bank composition
+    itself, so the whole mode-9 content stream is a function of the config
+    dial, never the backend (the banded Mosaic solve runs in interpret mode
+    off-TPU; ``"xla"`` uses the gather fixed point on the big lattice).
+
+    Returns ``(bank, (obj_aux, bg_aux))`` with the shapes and meanings of
+    :func:`make_warp_aux`'s outputs."""
+    from ..ops.pallas_scene import BG_EY
+    from . import pallas_fields as pf
+
+    W, H = cfg.width, cfg.height
+    origins = crop_origins(W, H)
+    if impl is None:
+        impl = cfg.warp_bank_impl
+    flows, iflows = _big_fields(root, step, cfg, impl)
+    bank = _crop_bank(flows, iflows, cfg)
+
+    big_i = jnp.nan_to_num(iflows)
+    # The forward-flow channels feed emitted flow, so they carry the
+    # warp_oob policy exactly like the bank's (apply_oob_policy): under
+    # "nan" flagged pixels become the finite OOB sentinel and survive the
+    # scrub; under "zero" they scrub to zero displacement.
+    big_f = jnp.nan_to_num(
+        jnp.where(jnp.isnan(flows), OOB_SENTINEL, flows)
+        if cfg.warp_oob == "nan" else flows
+    )
+    if impl == "pallas":
+        interpret = jax.default_backend() == "cpu"
+        gd_big = pf.coarse_gdisp_batch(
+            big_i, stride=coarse, n_iter=n_iter or 8, interpret=interpret
+        )                                               # (F, S, S)
+    else:
+        gd_big = _gdisp_xla(big_i, n_iter or 4, coarse)
+
+    # obj_aux: plain crops of [gdisp, iflow_y, flow_x, flow_y].
+    big4 = jnp.stack(
+        [gd_big, big_i[..., 1], big_f[..., 0], big_f[..., 1]], axis=1
+    )                                                   # (F, 4, S, S)
+    obj_aux = jnp.concatenate(
+        [jnp.stack([f4[:, y : y + H, x : x + W] for (x, y) in origins])
+         for f4 in big4]
+    )                                                   # (N, 4, H, W)
+
+    # bg_aux: x2-upsampled [gdisp, iflow_y] on the extended frame grid —
+    # bg_upscale's quarter-offset lattice shifted by each crop's origin.
+    big2 = jnp.stack([gd_big, big_i[..., 1]], axis=1)   # (F, 2, S, S)
+    n_pairs_r = (H + 2 * BG_EY) // 2
+    per_origin = []
+    for (x, y) in origins:
+        r = _half_offset_expand(
+            big2, 2, y + H // 4 - BG_EY // 2 - 1, n_pairs_r
+        )
+        per_origin.append(
+            2.0 * _half_offset_expand(r, 3, x + W // 4 - 1, W // 2)
+        )
+    bg_aux = jnp.stack(per_origin, axis=1).reshape(
+        -1, 2, H + 2 * BG_EY, W
+    )                                                   # (N, 2, HB, W)
+    return bank, (obj_aux, bg_aux)

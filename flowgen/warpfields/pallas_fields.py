@@ -288,7 +288,7 @@ def self_compose_pallas(field, iters, interpret=False):
                                      interpret=interpret)[0]
 
 
-def make_big_fields_pallas(keys, size, coarse_iters=13, interpret=False):
+def make_big_fields_pallas(keys, size, coarse_iters=16, interpret=False):
     """TPU-kernel twin of fields.make_big_field over a BATCH of field keys:
     same half-lattice schedule, same elementary fields, composition through
     the banded kernels with all ``2 * len(keys)`` directions (flow + iflow
@@ -315,7 +315,7 @@ def make_big_fields_pallas(keys, size, coarse_iters=13, interpret=False):
     return out[0::2], out[1::2]
 
 
-def make_big_field_pallas(key, size, coarse_iters=13, interpret=False):
+def make_big_field_pallas(key, size, coarse_iters=16, interpret=False):
     """Single-key wrapper over :func:`make_big_fields_pallas`."""
     flow, iflow = make_big_fields_pallas([key], size, coarse_iters,
                                          interpret=interpret)

@@ -178,7 +178,7 @@ def test_crop_diversity_across_epoch():
 
 def test_half_lattice_composition_error_bounded():
     """ROADMAP deviation #8, quantified: the production schedule runs the
-    first 13 of 17 doublings on a half-resolution lattice. Pin its error
+    first 16 of 17 doublings on a half-resolution lattice. Pin its error
     against the full-resolution composition of the SAME elementary field —
     the deviation must stay a small fraction of the field magnitude (the
     fields are sigma~50 px smooth, so the half lattice resolves them)."""
@@ -275,3 +275,46 @@ def test_warp_oob_nan_matches_oracle_flags():
         warp_bank=bank_nan,
     )
     assert np.isfinite(np.asarray(out_zero["flow0"])).all()
+
+
+def test_bank_and_aux_shared_big_fields():
+    """make_bank_and_aux (one column-inverse solve per BIG field, crops +
+    x2 slice-lerp upsamples derived from it) vs the legacy per-crop
+    make_warp_aux: the bank and every linearly derived aux channel are
+    identical; the gdisp channels agree to the coarse solve's own tolerance
+    (different lattice phases, and the big solve sees the true field where
+    the displaced row leaves a crop — the per-crop solve clamped there)."""
+    cfg = flowgen.DataGenConfig(mode=9, width=W, height=H, batch_size=4)
+    root = root_key(11)
+    bank, (obj_aux, bg_aux) = warpgen.make_bank_and_aux(
+        root, jnp.int32(0), cfg, impl="xla"
+    )
+    bank_ref = warpgen.make_warp_bank(root, jnp.int32(0), cfg, impl="xla")
+    np.testing.assert_array_equal(np.asarray(bank.flow),
+                                  np.asarray(bank_ref.flow))
+    np.testing.assert_array_equal(np.asarray(bank.iflow),
+                                  np.asarray(bank_ref.iflow))
+
+    from flowgen.ops.pallas_scene import BG_EY
+
+    n = warpgen.bank_size(cfg)
+    assert obj_aux.shape == (n, 4, H, W)
+    assert bg_aux.shape == (n, 2, H + 2 * BG_EY, W)
+
+    obj_ref, bg_ref = warpgen.make_warp_aux(bank_ref, use_pallas=False)
+    # Linear channels are crops / slice-lerps of the same field values:
+    # bitwise identical away from the legacy path's crop-edge padding band
+    # (the x2 lattice reads crop rows [0.5 - H/2, 3H/2 - 1.5]; extension
+    # rows beyond that edge-replicated in the legacy path, where the
+    # big-field lattice reads the true field rows instead).
+    np.testing.assert_array_equal(np.asarray(obj_aux[:, 1:]),
+                                  np.asarray(obj_ref[:, 1:]))
+    m = max(8, BG_EY - H // 2 + 8)
+    np.testing.assert_array_equal(np.asarray(bg_aux[:, 1, m:-m]),
+                                  np.asarray(bg_ref[:, 1, m:-m]))
+    # gdisp channels: same mathematical column inverse via different solves.
+    d_obj = np.abs(np.asarray(obj_aux[:, 0]) - np.asarray(obj_ref[:, 0]))
+    d_bg = np.abs(np.asarray(bg_aux[:, 0, m:-m]) -
+                  np.asarray(bg_ref[:, 0, m:-m]))
+    assert np.median(d_obj) < 0.05
+    assert np.median(d_bg) < 0.1

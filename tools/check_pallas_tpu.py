@@ -238,13 +238,13 @@ def main():
             warp_aux = None
             n_slots = 1
             if cfg.mode_spec.warp_p > 0.0:
-                bank = warpgen.make_warp_bank(
+                # Staged on host: impl="xla" keeps both the composition and
+                # the big-field aux solve in XLA (the production "pallas"
+                # dial would interpret-compose on the host here — slow, and
+                # irrelevant: the same bank+aux feed both sides).
+                bank, warp_aux = warpgen.make_bank_and_aux(
                     root_key(3), jnp.int32(0), cfg, impl="xla"
                 )
-                # Staged on host: keep the XLA aux path explicitly (the
-                # use_pallas autodetect keys off the process default backend,
-                # which is the TPU here even under default_device(cpu)).
-                warp_aux = warpgen.make_warp_aux(bank, use_pallas=False)
                 n_slots = warpgen.bank_size(cfg)
             scenes = sample_scene_batch(
                 root_key(3), jnp.arange(4), cfg, n_warp_slots=n_slots

@@ -117,10 +117,9 @@ def main():
             # impl="xla" keeps the (slow under interpret) bank build in XLA;
             # the SAME bank feeds both sides, so bank content cancels out of
             # the EPE — this table measures RENDER fidelity.
-            bank = warpgen.make_warp_bank(
+            bank, warp_aux = warpgen.make_bank_and_aux(
                 root_key(7), jnp.int32(0), cfg, impl="xla"
             )
-            warp_aux = warpgen.make_warp_aux(bank, use_pallas=False)
             n_slots = warpgen.bank_size(cfg)
             bank_np = {
                 "flow": np.asarray(bank.flow),
