@@ -84,6 +84,20 @@ def _ell_params(tr, prims):
     ).reshape(K, C * 8)
 
 
+def _ell_yext(tr, prims):
+    """Per-primitive screen y-extent [K, C*2] = (ymin, ymax) of the ellipse
+    under ``tr``: center tr[1,2] +- |(tr[1,0]*rx, tr[1,1]*ry)| — the kernel's
+    chord-coverage pass culls row blocks provably outside it
+    (ps.OMF_EXT / ELL_CULL_M)."""
+    K, C = tr.shape[0], tr.shape[1]
+    cy = tr[..., 1, 2]
+    hy = jnp.sqrt(
+        (tr[..., 1, 0] * prims.ell_rx) ** 2
+        + (tr[..., 1, 1] * prims.ell_ry) ** 2
+    )
+    return jnp.stack([cy - hy, cy + hy], axis=-1).reshape(K, C * 2)
+
+
 def _fold_coeffs(t, cx, cy, nx, ny, margin):
     """Two-pass resample coefficients for windows centered at (cx, cy)
     [..., T], sampling an (ny, nx) texture through the affine ``t``
@@ -344,7 +358,10 @@ def prepare_scene_inputs(scene: Scene, cfg: DataGenConfig, n_textures: int,
         tail = jnp.zeros(
             (K, ps.OMF_RAW - ps.OMF_ELL - ell.shape[1])
         )
-        return jnp.concatenate([mot, pad, ell, tail, raw], axis=-1)
+        yext = _ell_yext(tr, prims)
+        epad = jnp.zeros((K, ps.OMF_SIZE - ps.OMF_EXT - yext.shape[1]))
+        return jnp.concatenate([mot, pad, ell, tail, raw, yext, epad],
+                               axis=-1)
 
     # Frame-1 RAW residual texture affine + reflect periods (OMF_RAW slots):
     # folded in-kernel per sub-window when the mode's envelope needs texture

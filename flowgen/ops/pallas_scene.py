@@ -108,7 +108,15 @@ OMF_ELL = 8         # + c*8: ellipse inverse transform (6), rx, ry
 OMF_RAW = 64        # frame 1 only: RAW residual texture-sampling affine (6)
                     # + reflect periods (nx, ny) — folded IN-KERNEL per
                     # sub-window when tsplit > 1 (texture_split)
-OMF_SIZE = 72
+OMF_EXT = 72        # + c*2: ellipse screen y-extent [ymin, ymax] — the
+                    # chord-coverage pass culls 8-row blocks provably zero
+                    # (cell >= ELL_CULL_M px beyond the extent lies entirely
+                    # outside its own sector chord's half-plane)
+OMF_SIZE = 88
+
+ELL_CULL_M = 2.0    # cull margin: cell half-diagonal (<= 0.71) + chord
+                    # sagitta ((1 - cos(pi/100)) * r_screen < 1 up to
+                    # r ~ 2000 px) + slack
 
 # tilemeta layouts (per object, frame, tile slot)
 TMI_Y0 = 0          # window origin (snapped)
@@ -400,6 +408,13 @@ def _make_scene_kernel(
     # resample_params' envelope spans, min'd by the caller).
     CWO = SWs if CWO is None else CWO
     CWB = SWb if CWB is None else CWB
+    # Profiling sublevels: 21/22 = the dl2 coverage pass with one primitive
+    # family stubbed out (21: polygons only, 22: ellipses only) — splits the
+    # coverage cost between the edge loop and the chord formula.
+    skip_ell = debug_level == 21
+    skip_poly = debug_level == 22
+    if debug_level >= 20:
+        debug_level = 2
     wh, ww = min(WIN_H, H), min(WIN_W, W)
     # Frame-1 texture sub-windows (texture_split): whs x wws resamples, each
     # with its own in-kernel reflect fold; P is sized for ONE sub-window.
@@ -561,13 +576,6 @@ def _make_scene_kernel(
             origin (oy, ox): exact-area polygons / analytic ellipses +
             ordered screen algebra (cpp:591-646). Binary carried as f32.
             ``eref``: this unit's (4, EP) SMEM edge-table buffer."""
-            cxg = (
-                lax.broadcasted_iota(jnp.int32, (gh, gw), 1) + ox
-            ).astype(jnp.float32) + 0.5
-            cyg = (
-                lax.broadcasted_iota(jnp.int32, (gh, gw), 0) + oy
-            ).astype(jnp.float32) + 0.5
-
             aa_ref[:] = jnp.zeros_like(aa_ref)
             in_ref[:] = jnp.zeros_like(in_ref)
             add_bits = OMI(k, frame, OMI_ADD_BITS)
@@ -577,7 +585,8 @@ def _make_scene_kernel(
                 is_poly = ((poly_bits >> c) & 1) != 0
                 area_ref[:] = jnp.zeros_like(area_ref)
 
-                @pl.when(is_poly)
+                @pl.when(is_poly if not skip_poly else
+                         (is_poly & (poly_bits < 0)))
                 def _():
                     _area_accumulate_blocked(
                         eref, c * E, OMI(k, frame, OMI_NEDGES + c),
@@ -588,12 +597,16 @@ def _make_scene_kernel(
                         area >= 0.5, 2.0, 0.0
                     )
 
-                @pl.when(jnp.logical_not(is_poly))
+                @pl.when(jnp.logical_not(is_poly) if not skip_ell else
+                         (jnp.logical_not(is_poly) & (poly_bits < 0)))
                 def _():
                     # Fat ellipses: the reference's inscribed 100-gon, one
                     # chord per pixel with exact half-plane cell area
                     # (ops/raster.ellipse_chord_coverage; agg::ellipse
-                    # cpp:455-479, 1080).
+                    # cpp:455-479, 1080). Only the 8-row blocks meeting the
+                    # prim's screen y-extent are evaluated — rows beyond the
+                    # ELL_CULL_M margin are exactly zero (see OMF_EXT), and
+                    # area_ref was just zeroed.
                     base = OMF_ELL + c * 8
                     i00 = OMF(k, frame, base + 0)
                     i01 = OMF(k, frame, base + 1)
@@ -603,13 +616,37 @@ def _make_scene_kernel(
                     i12 = OMF(k, frame, base + 5)
                     rx_e = OMF(k, frame, base + 6)
                     ry_e = OMF(k, frame, base + 7)
-                    ux = (i00 * cxg + i01 * cyg + i02) / rx_e
-                    uy = (i10 * cxg + i11 * cyg + i12) / ry_e
-                    aa_e, in_e = raster.ellipse_chord_coverage(
-                        ux, uy, i00 / rx_e, i01 / rx_e, i10 / ry_e,
-                        i11 / ry_e,
-                    )
-                    area_ref[:] = aa_e + jnp.where(in_e, 2.0, 0.0)
+                    ymn = OMF(k, frame, OMF_EXT + 2 * c) - ELL_CULL_M
+                    ymx = OMF(k, frame, OMF_EXT + 2 * c + 1) + ELL_CULL_M
+                    oyf = oy.astype(jnp.float32)
+                    oxf = ox.astype(jnp.float32)
+                    rb0 = jnp.clip(
+                        jnp.floor(ymn - oyf).astype(jnp.int32) - 1, 0, gh
+                    ) >> 3
+                    rb1 = (jnp.clip(
+                        jnp.floor(ymx - oyf).astype(jnp.int32), -1, gh - 1
+                    ) >> 3) + 1
+
+                    def eblk(rb, _):
+                        r8 = pl.multiple_of(rb * 8, 8)
+                        cx8 = (
+                            lax.broadcasted_iota(jnp.int32, (8, gw), 1)
+                        ).astype(jnp.float32) + (oxf + 0.5)
+                        cy8 = (
+                            lax.broadcasted_iota(jnp.int32, (8, gw), 0) + r8
+                        ).astype(jnp.float32) + (oyf + 0.5)
+                        ux = (i00 * cx8 + i01 * cy8 + i02) / rx_e
+                        uy = (i10 * cx8 + i11 * cy8 + i12) / ry_e
+                        aa_e, in_e = raster.ellipse_chord_coverage(
+                            ux, uy, i00 / rx_e, i01 / rx_e, i10 / ry_e,
+                            i11 / ry_e,
+                        )
+                        area_ref[pl.ds(r8, 8), :] = aa_e + jnp.where(
+                            in_e, 2.0, 0.0
+                        )
+                        return 0
+
+                    lax.fori_loop(rb0, jnp.minimum(rb1, gh // 8), eblk, 0)
 
                 # area_ref carries aa in the fractional part and the binary
                 # bit at +2 (one scratch, one pl.when pair).

@@ -181,6 +181,8 @@ def main():
             (0, "megakernel dl0 (DMA in/out only)"),
             (1, "megakernel dl1 (+bg resample+obj loop)"),
             (2, "megakernel dl2 (+edge DMA+coverage)"),
+            (21, "megakernel dl2a (coverage: polygons only)"),
+            (22, "megakernel dl2b (coverage: ellipses only)"),
             (3, "megakernel dl3 (full)"),
         ):
             k = jax.jit(
@@ -193,6 +195,9 @@ def main():
             report(label, pipelined(k, *inputs))
 
     if "mode9" in sections:
+        import dataclasses as _dc
+
+        from flowgen.config import MODES, register_mode
         from flowgen.warpfields import generator as warpgen
         cfg9 = DataGenConfig(mode=9, batch_size=BATCH, seed=0)
         bank_fn = jax.jit(
@@ -200,12 +205,24 @@ def main():
         )
         report("mode9 warp bank (full bank)", pipelined(bank_fn, root, step,
                                                         steps=4))
-        bank = jax.block_until_ready(bank_fn(root, step))
-        aux_fn = jax.jit(warpgen.make_warp_aux)
-        report("mode9 warp aux", pipelined(aux_fn, bank, steps=4))
+        ba_fn = jax.jit(
+            lambda r, s: warpgen.make_bank_and_aux(r, s, cfg9)
+        )
+        report("mode9 bank+aux (shared big fields)",
+               pipelined(ba_fn, root, step, steps=4))
         fn9 = flowgen.make_generate_fn(cfg9)
         report("mode9 full step (pipelined, cached bank)",
                pipelined(fn9, root, step, atlas))
+        # Warp-cost split: the same recipe with warp_p=0 draws IDENTICAL
+        # scenes (the trigger consumes the same stream) minus every
+        # deformation branch — full-step delta = in-kernel warp cost.
+        if 990 not in MODES:
+            register_mode(_dc.replace(MODES[9], mode=990, warp_p=0.0))
+        cfg90 = DataGenConfig(mode=990, batch_size=BATCH, seed=0,
+                              validate_envelope="never")
+        fn90 = flowgen.make_generate_fn(cfg90)
+        report("mode9 twin w/o warps (warp_p=0)",
+               pipelined(fn90, root, step, atlas))
 
     print(f"total wall {time.perf_counter() - t0:.1f}s", flush=True)
 
