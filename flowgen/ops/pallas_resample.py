@@ -556,6 +556,110 @@ def _banded_lerp_rows(block_rows, u, n_tiles_scan: int, n_src_tiles: int,
     return v if clamp_oob else jnp.where(ok, v, 0.0)
 
 
+def _banded_lerp_rows_packed(block_rows, u, n_tiles_scan: int,
+                             n_src_tiles: int, width_valid: float):
+    """Packed-RGB twin of :func:`_banded_lerp_rows`: ``block_rows`` serves
+    (R, 128) blocks of int32 ``(r<<16)|(g<<8)|b`` texels; ONE tap-pair
+    gather feeds all three channel lerps (the gathers are the cost of the
+    banded passes — this is the same 3-for-1 the packed slabs buy the
+    affine resampler). OOB positions produce 0 on every channel (the
+    zero-pad boundary of applyWarpFieldToTexture, cpp:237-252)."""
+    ok = (u >= 0.0) & (u <= width_valid - 1.0)
+    uc = jnp.clip(u, 0.0, width_valid - 1.0)
+    uf = jnp.floor(uc)
+    fx = uc - uf
+    u0 = uf.astype(jnp.int32)
+    u1 = jnp.minimum(u0 + 1, jnp.int32(width_valid - 1))
+    p0, p1 = _banded_tap_pair(
+        block_rows, u0, u1, n_tiles_scan,
+        jnp.zeros(u.shape, jnp.int32), n_src_tiles,
+    )
+    outs = []
+    for v0, v1 in zip(_unpack3(p0), _unpack3(p1)):
+        v = det_lerp(v0, v1, fx)
+        outs.append(jnp.where(ok, v, 0.0))
+    return outs
+
+
+def _pack_rgb_rounded(r, g, b):
+    """Round three f32 channel planes (convex combinations of u8 values,
+    so already in [0, 255] up to 1-ulp lerp overshoot that the int cast
+    absorbs) into one packed int32 plane."""
+    return (
+        (jnp.round(r).astype(jnp.int32) << 16)
+        | (jnp.round(g).astype(jnp.int32) << 8)
+        | jnp.round(b).astype(jnp.int32)
+    )
+
+
+def displace_warp_rgb_in_kernel(
+    src_ref,          # VMEM (whE, wwE) int32 packed-RGB source plane
+    gdisp, vdisp, x0, y0, ex0, ey0,
+    wh: int, ww: int, whE: int, wwE: int,
+    ptmp_ref,         # VMEM scratch (whE, ww) int32
+    ptmpT_ref,        # VMEM scratch (ww, round_up(whE, 128)) int32
+    out3T_ref,        # VMEM scratch (3, ww, round_up(wh, 128)) f32
+    x_scan: int = 3, y_scan: int = 3,
+):
+    """Separable bounded-displacement warp of a packed-RGB u8 plane — the
+    3-channel twin of :func:`displace_warp_in_kernel` at ~1/3 the tap-gather
+    cost. The pass-1 intermediate re-rounds to u8 and repacks; this matches
+    the reference's own chain, which materializes the affine-resampled
+    texture as a u8 CImg BEFORE applyWarpFieldToTexture bilinearly samples
+    it (renderTransformedTexture cpp:341-346 -> cpp:237-252) — i.e. the
+    quantize-resample-quantize structure is the reference's, with our one
+    extra intermediate rounding from separability (<= 1/2 intensity level).
+    Returns three (wh, ww) f32 channel planes."""
+    for xt in range(ww // 128):
+        u_frame = (
+            lax.broadcasted_iota(jnp.int32, (whE, 128), 1).astype(jnp.float32)
+            + (x0 + xt * 128).astype(jnp.float32)
+            + gdisp[:, xt * 128 : (xt + 1) * 128]
+        )
+        u_loc = u_frame - ex0.astype(jnp.float32)
+        r, g, b = _banded_lerp_rows_packed(
+            lambda base: src_ref[:, pl.ds(base, 128)],
+            u_loc, x_scan, wwE // 128, float(wwE),
+        )
+        # Static [0:whE] row slices: the scratch may be shared with (and
+        # sized for) a taller caller.
+        ptmp_ref[0:whE, xt * 128 : (xt + 1) * 128] = _pack_rgb_rounded(
+            r, g, b
+        )
+
+    whEp = ptmpT_ref.shape[1]
+    ptmpT_ref[:, :whE] = ptmp_ref[0:whE, :].T
+    whp = _round_up(wh, 128)
+    vdT = vdisp.T
+    if whp > wh:
+        vdT = jnp.concatenate(
+            [vdT, jnp.zeros((ww, whp - wh), jnp.float32)], axis=1
+        )
+    for yt in range(whp // 128):
+        for xc in range(ww // 128):
+            v_frame = (
+                lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+                .astype(jnp.float32)
+                + (y0 + yt * 128).astype(jnp.float32)
+            )
+            xl = xc * 128
+            vd = vdT[xl : xl + 128, yt * 128 : (yt + 1) * 128]
+            v_loc = v_frame + vd - ey0.astype(jnp.float32)
+            r, g, b = _banded_lerp_rows_packed(
+                lambda base, _xc=xc: ptmpT_ref[
+                    _xc * 128 : (_xc + 1) * 128, pl.ds(base, 128)
+                ],
+                v_loc, y_scan, whEp // 128, float(whE),
+            )
+            for ch, v in enumerate((r, g, b)):
+                out3T_ref[ch, xl : xl + 128, yt * 128 : (yt + 1) * 128] = v
+    return (
+        out3T_ref[0, :, :wh].T,
+        out3T_ref[1, :, :wh].T,
+        out3T_ref[2, :, :wh].T,
+    )
+
+
 def displace_warp_in_kernel(
     src_ref,          # VMEM (whE, wwE) f32 source plane, frame origin (ey0, ex0)
     gdisp,            # (whE, ww) f32: pass-1 x-displacement at (col, row w)

@@ -466,8 +466,8 @@ def _make_scene_kernel(
         if has_warp:
             (covE_aa, covE_in, covE_area, texE, igbuf, ivbuf,
              dtmp, dtmpT, frows,
-             bgwork, bggbuf, bgtmp, bgtmpT) = refs[i:i + 13]
-            i += 13
+             bgwork, bggbuf, ptmp, ptmpT, out3T) = refs[i:i + 14]
+            i += 14
         if emit_masks:
             idacc = refs[i]; i += 1
         sems = refs[i]
@@ -1015,9 +1015,12 @@ def _make_scene_kernel(
                             rows_ref, w0, coeffs, ox, oy, wh, ww, P,
                             t1t, outt, xscan, yscan, sw=CWO,
                         )
-                        texE[0, ly : ly + wh, lx : lx + ww] = tr
-                        texE[1, ly : ly + wh, lx : lx + ww] = tg
-                        texE[2, ly : ly + wh, lx : lx + ww] = tb
+                        # Packed u8 — the reference materializes this very
+                        # intermediate as a u8 CImg (cpp:341-346) before
+                        # warping it.
+                        texE[ly : ly + wh, lx : lx + ww] = (
+                            resamp._pack_rgb_rounded(tr, tg, tb)
+                        )
 
                 ig_dma.wait()
                 iv_dma.wait()
@@ -1034,9 +1037,10 @@ def _make_scene_kernel(
                 aaW = disp(covE_aa)
                 inW = (disp(covE_in) >= IN_THR).astype(jnp.float32)
                 m = (aaW if use_aa else inW) * own
-                trW = disp(texE.at[0])
-                tgW = disp(texE.at[1])
-                tbW = disp(texE.at[2])
+                trW, tgW, tbW = resamp.displace_warp_rgb_in_kernel(
+                    texE, gd, vd, x0, y0, ex0, ey0,
+                    wh, ww, whE, wwE, ptmp, ptmpT, out3T,
+                )
                 blend_window(acc_frame, y0, x0, m, trW, tgW, tbW)
                 if emit_masks:
                     write_ids(k, frame, inW * own, y0, x0)
@@ -1153,12 +1157,12 @@ def _make_scene_kernel(
                 # field's displacement bound).
                 def work_writer(eys, exs):
                     def write(tr, tg, tb):
-                        for ch, v in enumerate((tr, tg, tb)):
-                            bgwork[
-                                ch,
-                                eys + BG_EY : eys + BG_EY + wh,
-                                exs + BG_EX : exs + BG_EX + ww,
-                            ] = v
+                        # Packed u8: the reference's extended background is
+                        # a u8 CImg too (cpp:1194-1202).
+                        bgwork[
+                            eys + BG_EY : eys + BG_EY + wh,
+                            exs + BG_EX : exs + BG_EX + ww,
+                        ] = resamp._pack_rgb_rounded(tr, tg, tb)
                     return write
 
                 bg_tiles_pipelined([
@@ -1186,18 +1190,15 @@ def _make_scene_kernel(
                     gd = bggbuf[:]
                     vd = ivbuf[:]
 
-                    def dispbg(ch):
-                        return resamp.displace_warp_in_kernel(
-                            bgwork.at[ch, pl.ds(band0, whB)], gd, vd,
-                            jnp.int32(x0s), jnp.int32(y0s),
-                            jnp.int32(-BG_EX), jnp.int32(y0s - BG_EY),
-                            wh, ww, whB, WB, bgtmp, bgtmpT, outt,
-                            x_scan=4, y_scan=4,
-                        )
-
+                    rW, gW, bW = resamp.displace_warp_rgb_in_kernel(
+                        bgwork.at[pl.ds(band0, whB)], gd, vd,
+                        jnp.int32(x0s), jnp.int32(y0s),
+                        jnp.int32(-BG_EX), jnp.int32(y0s - BG_EY),
+                        wh, ww, whB, WB, ptmp, ptmpT, out3T,
+                        x_scan=4, y_scan=4,
+                    )
                     acc1[y0s : y0s + wh, x0s : x0s + ww] = _pack3f(
-                        jnp.round(dispbg(0)), jnp.round(dispbg(1)),
-                        jnp.round(dispbg(2)),
+                        jnp.round(rW), jnp.round(gW), jnp.round(bW)
                     )
                 # Forward-field flow contribution at the moved positions
                 # (sampled from the native crop through the half-scale
@@ -1464,20 +1465,24 @@ def scene_render_pallas(
         HB = H + 2 * BG_EY
         WB = W + 2 * BG_EX
         whB = min(wh + 2 * BG_EY, HB)
+        whBp = _round_up(whB, 128)
         scratch += [
             pltpu.VMEM((whE, wwE), jnp.float32),     # covE_aa
             pltpu.VMEM((whE, wwE), jnp.float32),     # covE_in
             pltpu.VMEM((whE, wwE), jnp.float32),     # covE_area
-            pltpu.VMEM((3, whE, wwE), jnp.float32),  # texE
+            pltpu.VMEM((whE, wwE), jnp.int32),       # texE (packed RGB)
             pltpu.VMEM((whE, ww), jnp.float32),      # igbuf
             pltpu.VMEM((wh, ww), jnp.float32),       # ivbuf
             pltpu.VMEM((whE, ww), jnp.float32),      # dtmp
             pltpu.VMEM((ww, whEp), jnp.float32),     # dtmpT
             pltpu.VMEM((P, Wp), jnp.float32),        # frows
-            pltpu.VMEM((3, HB, WB), jnp.float32),    # bgwork (extended bg)
+            pltpu.VMEM((HB, WB), jnp.int32),         # bgwork (packed ext bg)
             pltpu.VMEM((whB, ww), jnp.float32),      # bggbuf
-            pltpu.VMEM((whB, ww), jnp.float32),      # bgtmp
-            pltpu.VMEM((ww, _round_up(whB, 128)), jnp.float32),  # bgtmpT
+            # Packed-RGB displacement-warp scratch, shared by the object and
+            # background branches (sized for the larger of the two).
+            pltpu.VMEM((max(whE, whB), ww), jnp.int32),     # ptmp
+            pltpu.VMEM((ww, max(whEp, whBp)), jnp.int32),   # ptmpT
+            pltpu.VMEM((3, ww, _round_up(wh, 128)), jnp.float32),  # out3T
         ]
     if emit_masks:
         scratch.append(pltpu.VMEM((2, H, W), jnp.int32))
